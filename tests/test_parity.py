@@ -1,0 +1,94 @@
+"""Golden byte-for-byte parity against the reference zultra implementation.
+
+The spec of this framework is: identical compressed bitstreams to the
+reference binary for every (input, framing, block size, dictionary)
+combination, and clean decompression by stock zlib.
+"""
+
+import zlib
+
+import pytest
+
+import zultra_tpu as zt
+
+FORMATS = [
+    ("gzip", zt.FLAG_GZIP_FRAMING),
+    ("zlib", zt.FLAG_ZLIB_FRAMING),
+    ("deflate", zt.FLAG_DEFLATE_FRAMING),
+]
+
+
+def _decompress(blob: bytes, flags: int) -> bytes:
+    if flags & zt.FLAG_GZIP_FRAMING:
+        return zlib.decompress(blob, 15 + 16)
+    if flags & zt.FLAG_ZLIB_FRAMING:
+        return zlib.decompress(blob, 15)
+    return zlib.decompress(blob, -15)
+
+
+@pytest.mark.parametrize("fmt_name,flags", FORMATS)
+def test_parity_corpus(ref_lib, lz_corpus, fmt_name, flags):
+    for name, data in lz_corpus.items():
+        ref = ref_lib.compress(data, flags)
+        mine = zt.compress(data, flags)
+        assert mine == ref, f"{name}/{fmt_name}: {len(mine)} vs {len(ref)} bytes"
+        assert _decompress(mine, flags) == data
+
+
+def test_parity_small_inputs(ref_lib):
+    for data in [b"a", b"ab", b"abc", b"aaaa", b"\x00", bytes(range(10)),
+                 b"x" * 300, b"abcabcabcabc"]:
+        for _, flags in FORMATS:
+            assert zt.compress(data, flags) == ref_lib.compress(data, flags)
+
+
+def test_parity_multiwindow_small_blocks(ref_lib, lz_corpus):
+    """Exercise the history slide and window chaining with a 32 KB max
+    block size (multiple windows without multi-MB spec runtime)."""
+    data = lz_corpus["lz_16384_32_0.6"] + lz_corpus["lz_16384_256_0.2"] + lz_corpus["lz_16384_3_0.9"]
+    for _, flags in FORMATS:
+        ref = ref_lib.compress(data, flags, max_block_size=32768)
+        mine = zt.compress(data, flags, max_block_size=32768)
+        assert mine == ref
+
+
+def test_parity_stored_fallback(ref_lib, lz_corpus):
+    """Incompressible data triggers the stored-block fallback path."""
+    data = lz_corpus["random_32k"]
+    for _, flags in FORMATS:
+        ref = ref_lib.compress(data, flags, max_block_size=32768)
+        mine = zt.compress(data, flags, max_block_size=32768)
+        assert mine == ref
+        assert _decompress(mine, flags) == data
+
+
+def test_parity_dictionary(ref_lib, lz_corpus):
+    """Preset dictionary path (zlib framing, like the reference CLI)."""
+    base = lz_corpus["lz_16384_32_0.6"]
+    dictionary = base[:4096]
+    data = base[2048:12000]
+    ref = ref_lib.compress(data, zt.FLAG_ZLIB_FRAMING, dictionary=dictionary)
+    mine = zt.compress(data, zt.FLAG_ZLIB_FRAMING, dictionary=dictionary)
+    assert mine == ref
+    d = zlib.decompressobj(15, zdict=dictionary)
+    assert d.decompress(mine) == data
+
+
+def test_streaming_chunked_equals_oneshot(lz_corpus):
+    """Chunked push-API feeding must produce the identical stream to the
+    one-shot path (the window-fill trigger semantics guarantee it for the
+    reference as well)."""
+    data = lz_corpus["lz_16384_256_0.2"] + lz_corpus["lz_16384_32_0.6"] + lz_corpus["lz_4096_3_0.9"]
+    oneshot = zt.compress(data, zt.FLAG_GZIP_FRAMING, max_block_size=32768)
+    for chunk in (1024, 16384, 40000):
+        stream = zt.Stream(zt.FLAG_GZIP_FRAMING, max_block_size=32768)
+        out = bytearray()
+        for i in range(0, len(data), chunk):
+            out += stream.compress(data[i : i + chunk], zt.CONTINUE)
+        out += stream.compress(b"", zt.FINALIZE)
+        assert bytes(out) == oneshot
+
+
+def test_empty_input_errors():
+    with pytest.raises(zt.StreamError):
+        zt.compress(b"", zt.FLAG_GZIP_FRAMING)
