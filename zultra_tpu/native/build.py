@@ -1,0 +1,40 @@
+"""Build the native engine shared library.
+
+Usage: python zultra_tpu/native/build.py [--debug]
+Produces zultra_tpu/native/libzultra_tpu.so.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+SRC = HERE / "src"
+OUT = HERE / "libzultra_tpu.so"
+
+
+def build(debug: bool = False) -> Path:
+    flags = ["-O0", "-g"] if debug else ["-O3", "-funroll-loops", "-march=native"]
+    cmd = [
+        "g++", "-std=c++17", "-shared", "-fPIC", "-Wall", "-Wextra",
+        "-Wno-unused-parameter", *flags, "-pthread",
+        str(SRC / "zultra_native.cpp"), "-o", str(OUT),
+    ]
+    subprocess.run(cmd, check=True)
+    return OUT
+
+
+def ensure_built() -> Path:
+    """Build if missing or stale (any source newer than the library)."""
+    if OUT.exists():
+        lib_mtime = OUT.stat().st_mtime
+        if all(p.stat().st_mtime <= lib_mtime for p in SRC.glob("*")):
+            return OUT
+    return build()
+
+
+if __name__ == "__main__":
+    path = build(debug="--debug" in sys.argv)
+    print(f"built {path}")

@@ -1,0 +1,146 @@
+// SA-IS suffix array construction (Nong, Zhang & Chan, "Two Efficient
+// Algorithms for Linear Time Suffix Array Construction").
+//
+// Written from scratch for zultra_tpu's native engine. This replaces the
+// role of libdivsufsort in the reference (src/libdivsufsort/) with a
+// different algorithm family; the output permutation is identical because
+// the suffix array of a string is unique.
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace zn {
+
+namespace detail {
+
+// Generic SA-IS over an integer sequence that ends with a unique smallest
+// sentinel (s[n-1] is strictly smaller than every other element).
+template <typename T>
+void sais_with_sentinel(const T* s, int32_t* sa, int32_t n, int32_t alphabet_size) {
+    if (n == 1) { sa[0] = 0; return; }
+
+    std::vector<uint8_t> is_s_type(n);
+    is_s_type[n - 1] = 1;
+    for (int32_t i = n - 2; i >= 0; --i) {
+        if (s[i] < s[i + 1]) is_s_type[i] = 1;
+        else if (s[i] > s[i + 1]) is_s_type[i] = 0;
+        else is_s_type[i] = is_s_type[i + 1];
+    }
+    auto is_lms = [&](int32_t i) {
+        return i > 0 && is_s_type[i] && !is_s_type[i - 1];
+    };
+
+    std::vector<int32_t> bucket_count(alphabet_size, 0);
+    for (int32_t i = 0; i < n; ++i) bucket_count[s[i]]++;
+    std::vector<int32_t> bucket_heads(alphabet_size), bucket_tails(alphabet_size);
+    auto reset_heads = [&] {
+        int32_t acc = 0;
+        for (int32_t c = 0; c < alphabet_size; ++c) { bucket_heads[c] = acc; acc += bucket_count[c]; }
+    };
+    auto reset_tails = [&] {
+        int32_t acc = 0;
+        for (int32_t c = 0; c < alphabet_size; ++c) { acc += bucket_count[c]; bucket_tails[c] = acc; }
+    };
+
+    auto induce = [&](const std::vector<int32_t>& lms_order) {
+        std::memset(sa, -1, sizeof(int32_t) * n);
+        // Seed: LMS suffixes at their bucket tails, in the given order
+        // (walked backward so earlier entries land closer to the tail).
+        reset_tails();
+        for (int32_t k = (int32_t)lms_order.size() - 1; k >= 0; --k) {
+            int32_t p = lms_order[k];
+            sa[--bucket_tails[s[p]]] = p;
+        }
+        // Induce L-type suffixes left to right.
+        reset_heads();
+        for (int32_t i = 0; i < n; ++i) {
+            int32_t p = sa[i];
+            if (p > 0 && !is_s_type[p - 1]) sa[bucket_heads[s[p - 1]]++] = p - 1;
+        }
+        // Induce S-type suffixes right to left.
+        reset_tails();
+        for (int32_t i = n - 1; i >= 0; --i) {
+            int32_t p = sa[i];
+            if (p > 0 && is_s_type[p - 1]) sa[--bucket_tails[s[p - 1]]] = p - 1;
+        }
+    };
+
+    // Pass 1: induce from unsorted LMS positions to sort LMS substrings.
+    std::vector<int32_t> lms_positions;
+    lms_positions.reserve(n / 2 + 1);
+    for (int32_t i = 1; i < n; ++i)
+        if (is_lms(i)) lms_positions.push_back(i);
+    int32_t n_lms = (int32_t)lms_positions.size();
+    if (n_lms == 0) {
+        // Strictly decreasing string: SA is the reverse identity... but the
+        // sentinel is always S-type and position n-1 preceded by L is LMS,
+        // so this only happens for n == 1 handled above. Defensive:
+        induce({});
+        return;
+    }
+
+    induce(lms_positions);
+
+    // Name sorted LMS substrings.
+    std::vector<int32_t> sorted_lms;
+    sorted_lms.reserve(n_lms);
+    for (int32_t i = 0; i < n; ++i)
+        if (is_lms(sa[i])) sorted_lms.push_back(sa[i]);
+
+    std::vector<int32_t> name_of(n, -1);
+    int32_t name_count = 0;
+    int32_t prev = -1;
+    for (int32_t k = 0; k < n_lms; ++k) {
+        int32_t cur = sorted_lms[k];
+        bool differs = (prev < 0);
+        if (!differs) {
+            // Compare LMS substrings at prev and cur (ends at next LMS incl.)
+            for (int32_t d = 0;; ++d) {
+                bool prev_end = d > 0 && is_lms(prev + d);
+                bool cur_end = d > 0 && is_lms(cur + d);
+                if (prev_end && cur_end) break;
+                if (prev_end != cur_end || s[prev + d] != s[cur + d]) { differs = true; break; }
+            }
+        }
+        if (differs) { ++name_count; prev = cur; }
+        name_of[cur] = name_count - 1;
+    }
+
+    // Order LMS suffixes.
+    std::vector<int32_t> lms_rank(n_lms);
+    for (int32_t k = 0; k < n_lms; ++k) lms_rank[k] = name_of[lms_positions[k]];
+
+    std::vector<int32_t> lms_sorted_by_suffix(n_lms);
+    if (name_count == n_lms) {
+        for (int32_t k = 0; k < n_lms; ++k) lms_sorted_by_suffix[lms_rank[k]] = lms_positions[k];
+    } else {
+        // Recurse on the reduced string (its last element is the sentinel's
+        // LMS name 0? — the sentinel position n-1 is LMS and its substring
+        // is the unique smallest, so lms_rank.back() == 0 and is unique).
+        std::vector<int32_t> sub_sa(n_lms);
+        sais_with_sentinel(lms_rank.data(), sub_sa.data(), n_lms, name_count);
+        for (int32_t k = 0; k < n_lms; ++k) lms_sorted_by_suffix[k] = lms_positions[sub_sa[k]];
+    }
+
+    induce(lms_sorted_by_suffix);
+}
+
+} // namespace detail
+
+// Suffix array of a byte string (no sentinel requirement). Appends an
+// internal sentinel by shifting the alphabet.
+inline void suffix_array(const uint8_t* data, int32_t n, int32_t* sa) {
+    if (n <= 0) return;
+    if (n == 1) { sa[0] = 0; return; }
+    std::vector<int32_t> s(n + 1);
+    for (int32_t i = 0; i < n; ++i) s[i] = (int32_t)data[i] + 1;
+    s[n] = 0;
+    std::vector<int32_t> sa_tmp(n + 1);
+    detail::sais_with_sentinel(s.data(), sa_tmp.data(), n + 1, 257);
+    // Drop the sentinel suffix (always first).
+    std::memcpy(sa, sa_tmp.data() + 1, sizeof(int32_t) * n);
+}
+
+} // namespace zn

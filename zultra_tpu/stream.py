@@ -19,6 +19,8 @@ Parity notes (judge-checkable against the reference):
 
 from __future__ import annotations
 
+from collections import deque
+
 import numpy as np
 
 from . import frame
@@ -41,6 +43,10 @@ from .engine import get_engine
 
 FINALIZE = 1
 CONTINUE = 0
+
+# Window pipeline: number of planner threads and max in-flight windows.
+PIPELINE_WORKERS = 2
+PIPELINE_DEPTH = 3
 
 
 class StreamError(Exception):
@@ -76,6 +82,8 @@ class Stream:
         self.out_buffer = bytearray(out_cap)
         self.writer = BitWriter(self.out_buffer, 0, out_cap)
         self.engine = get_engine()
+        self._executor = None
+        self._pending = deque()
 
     # -- public API --------------------------------------------------------
 
@@ -130,10 +138,32 @@ class Stream:
                 break
 
         if finalize and not self.footer_emitted:
+            out += self._drain_pending()  # wait for all in-flight windows
             self.footer_emitted = True
             out += frame.encode_footer(self.flags, self.checksum, self.total_in)
 
         self.total_out += len(out)
+        return bytes(out)
+
+    def _drain_pending(self, only_ready: bool = False, max_keep: int = 0) -> bytes:
+        """Emit completed pipeline jobs in stream order. With
+        ``only_ready`` stop at the first unfinished job; otherwise block
+        until at most ``max_keep`` jobs remain in flight."""
+        out = bytearray()
+        writer = self.writer
+        while self._pending:
+            if only_ready and not self._pending[0][0].done():
+                break
+            if not only_ready and len(self._pending) <= max_keep:
+                break
+            future, window_is_last = self._pending.popleft()
+            handle = future.result()
+            n_bytes, bits_data, bits_count = self.engine.emit_window(
+                handle, window_is_last, self.out_buffer, writer.bits_data, writer.bits_count
+            )
+            writer.bits_data = bits_data
+            writer.bits_count = bits_count
+            out += self.out_buffer[:n_bytes]
         return bytes(out)
 
     # -- internals ---------------------------------------------------------
@@ -148,6 +178,45 @@ class Stream:
 
         prev = self.previous_block_size
         window = self.window[HISTORY_SIZE - prev : HISTORY_SIZE + in_size]
+
+        if hasattr(self.engine, "begin_window"):
+            # Pipelined native path: submit the bit-phase-independent
+            # planning (match finding, splitting, DP convergence) to a
+            # worker pool so consecutive windows overlap; emission happens
+            # in stream order as jobs complete.
+            window_is_last = bool(finalize) and not remaining
+            if self._executor is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._executor = ThreadPoolExecutor(max_workers=PIPELINE_WORKERS)
+            if len(self._pending) >= PIPELINE_DEPTH:
+                # Bound in-flight memory: wait for the oldest job.
+                out_head = self._drain_pending(max_keep=PIPELINE_DEPTH - 1)
+            else:
+                out_head = b""
+            win_copy = np.ascontiguousarray(window).copy()
+            future = self._executor.submit(self.engine.begin_window, win_copy, prev, in_size)
+            self._pending.append((future, window_is_last))
+            self._slide_history(in_size)
+            return out_head + self._drain_pending(only_ready=True)
+
+        if hasattr(self.engine, "compress_window"):
+            # Full-window engine path without pipelining.
+            window_is_last = bool(finalize) and not remaining
+            writer = self.writer
+            n_bytes, bits_data, bits_count = self.engine.compress_window(
+                np.ascontiguousarray(window),
+                prev,
+                in_size,
+                window_is_last,
+                self.out_buffer,
+                writer.bits_data,
+                writer.bits_count,
+            )
+            writer.bits_data = bits_data
+            writer.bits_count = bits_count
+            self._slide_history(in_size)
+            return bytes(self.out_buffer[:n_bytes])
 
         match_table = self.engine.find_all_matches(window, prev, prev + in_size)
         best_match = np.zeros((prev + in_size, 2), dtype=np.int32)
@@ -219,13 +288,7 @@ class Stream:
 
             in_start += block_size
 
-        # Slide history: last ≤32 KB of the window region (anchored at
-        # max_block_size, exactly like the reference).
-        self.previous_block_size = min(in_size, HISTORY_SIZE)
-        prev = self.previous_block_size
-        if prev:
-            src = HISTORY_SIZE + (self.max_block_size - prev)
-            self.window[HISTORY_SIZE - prev : HISTORY_SIZE] = self.window[src : src + prev]
+        self._slide_history(in_size)
 
         if finalize and not remaining:
             writer.flush_bits()
@@ -234,6 +297,16 @@ class Stream:
         out = bytes(self.out_buffer[: writer.get_offset()])
         writer.set_offset(0)
         return out
+
+    def _slide_history(self, in_size: int) -> None:
+        """Slide the last ≤32 KB of the window region into the history
+        prefix (anchored at max_block_size, exactly like the reference,
+        libzultra.c:406-412)."""
+        self.previous_block_size = min(in_size, HISTORY_SIZE)
+        prev = self.previous_block_size
+        if prev:
+            src = HISTORY_SIZE + (self.max_block_size - prev)
+            self.window[HISTORY_SIZE - prev : HISTORY_SIZE] = self.window[src : src + prev]
 
 
 def memory_bound(input_size: int, flags: int = 0, max_block_size: int = 0) -> int:
