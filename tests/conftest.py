@@ -13,9 +13,16 @@ import subprocess
 import sys
 from pathlib import Path
 
-# Configure JAX for CPU tests BEFORE jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# Force JAX onto CPU with 8 virtual devices for the sharding tests. The
+# container's sitecustomize pre-registers the axon TPU backend and pins the
+# platform, so an env setdefault is not enough — override the config before
+# the backend initializes (conftest runs before any test imports jax).
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,162 @@
+"""JAX/Pallas TPU kernels: cross-validation against spec/native engines.
+
+Runs on CPU (conftest forces JAX_PLATFORMS=cpu with 8 virtual devices);
+Pallas kernels run in interpreter mode here and compiled on real TPU.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from zultra_tpu.constants import NLITERALSYMS, NOFFSETSYMS
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_suffix_array_jax_matches_numpy(seed):
+    from zultra_tpu.ops import suffix_array_jax
+    from zultra_tpu.suffix import suffix_array_numpy
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(2, 2000))
+    alphabet = int(rng.choice([2, 4, 256]))
+    data = rng.randint(0, alphabet, n).astype(np.uint8)
+    assert np.array_equal(suffix_array_jax(data), suffix_array_numpy(data))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_plcp_jax_matches_numpy(seed):
+    from zultra_tpu.ops import plcp_jax
+    from zultra_tpu.suffix import plcp_numpy, suffix_array_numpy
+
+    rng = np.random.RandomState(50 + seed)
+    n = int(rng.randint(2, 1500))
+    data = rng.randint(0, 4, n).astype(np.uint8)
+    sa = suffix_array_numpy(data)
+    assert np.array_equal(plcp_jax(data), plcp_numpy(data, sa))
+
+
+def test_token_histogram_jax():
+    from zultra_tpu.ops import token_histogram_jax
+
+    rng = np.random.RandomState(7)
+    syms = rng.randint(0, 288, 5000).astype(np.int32)
+    hist = np.asarray(token_histogram_jax(syms, 288))
+    assert np.array_equal(hist, np.bincount(syms, minlength=288))
+
+
+def test_byte_histogram_pallas_interpret():
+    from zultra_tpu.ops import byte_histogram_pallas
+
+    rng = np.random.RandomState(8)
+    data = rng.randint(0, 256, 10000).astype(np.uint8)
+    hist = byte_histogram_pallas(data, interpret=True)
+    assert np.array_equal(hist, np.bincount(data, minlength=256))
+
+
+def test_adler32_jax_and_combine():
+    from zultra_tpu.ops import adler32_combine, adler32_jax
+
+    rng = np.random.RandomState(9)
+    data = rng.bytes(100000)
+    assert adler32_jax(np.frombuffer(data, np.uint8)) == zlib.adler32(data)
+    # associative shard combine
+    a = zlib.adler32(data[:30000])
+    b = zlib.adler32(data[30000:])
+    assert adler32_combine(a, b, 70000) == zlib.adler32(data)
+
+
+def test_crc32_combine():
+    from zultra_tpu.ops import crc32_combine
+    from zultra_tpu.ops.checksum import crc32_sharded
+
+    rng = np.random.RandomState(10)
+    data = rng.bytes(99991)
+    a = zlib.crc32(data[:12345])
+    b = zlib.crc32(data[12345:])
+    assert crc32_combine(a, b, len(data) - 12345) == zlib.crc32(data)
+    shards = [data[i : i + 10000] for i in range(0, len(data), 10000)]
+    assert crc32_sharded(shards) == zlib.crc32(data)
+
+
+def _random_match_table(rng, n):
+    """Synthetic descending-length match tables with valid offsets."""
+    table = np.zeros((n, 8, 2), dtype=np.int32)
+    for i in range(1, n):
+        k = int(rng.randint(0, 4))
+        if k:
+            lens = np.sort(rng.randint(3, 259, k))[::-1]
+            lens = np.minimum(lens, n - i)
+            for m in range(k):
+                if lens[m] >= 3:
+                    table[i, m, 0] = lens[m]
+                    table[i, m, 1] = int(rng.randint(1, min(i, 32768) + 1))
+    return table
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_dp_jax_matches_spec_and_native(seed):
+    from zultra_tpu import native
+    from zultra_tpu.huffman import HuffmanEncoder
+    from zultra_tpu.ops import optimize_matches_jax
+    from zultra_tpu.parse import optimize_matches
+
+    rng = np.random.RandomState(200 + seed)
+    n = int(rng.randint(300, 1200))
+    window = rng.randint(0, 200, n).astype(np.uint8)
+    table = _random_match_table(rng, n)
+
+    lit = HuffmanEncoder(NLITERALSYMS, 15, 0)
+    off = HuffmanEncoder(NOFFSETSYMS, 15, 0)
+    lit.code_length = [int(x) for x in rng.randint(1, 16, 288)]
+    off.code_length = [int(x) for x in rng.randint(1, 16, 32)]
+
+    best_spec = np.zeros((n, 2), dtype=np.int32)
+    optimize_matches(lit, off, window, table, best_spec, 0, n)
+
+    best_native = native.optimize_matches(
+        lit.code_length[:288], off.code_length[:32], window, table.astype(np.uint16), 0, n
+    ).astype(np.int32)
+    assert np.array_equal(best_spec, best_native)
+
+    best_jax = optimize_matches_jax(
+        lit.code_length[:288], off.code_length[:32], window, table, 0, n
+    )
+    assert np.array_equal(best_spec, best_jax)
+
+
+def test_dp_block_boundary_unsigned_wrap():
+    """A ≥40-length match clamped below MIN_MATCH_SIZE at a block boundary
+    exercises the reference's unsigned-wrap path (index 255): all three
+    DP implementations must agree."""
+    from zultra_tpu import native
+    from zultra_tpu.huffman import HuffmanEncoder
+    from zultra_tpu.ops import optimize_matches_jax
+    from zultra_tpu.parse import optimize_matches
+
+    n = 100
+    window = np.arange(n, dtype=np.uint8) % 7
+    table = np.zeros((n, 8, 2), dtype=np.int32)
+    # Long match near the very end of the block: length 50 at n-2.
+    table[n - 2, 0] = (50, 7)
+    table[n - 2, 1] = (4, 3)
+    table[n - 10, 0] = (60, 5)
+
+    lit = HuffmanEncoder(NLITERALSYMS, 15, 0)
+    off = HuffmanEncoder(NOFFSETSYMS, 15, 0)
+    # Make symbol 285 (index 255) artificially cheap so the wrapped
+    # candidate can win if the semantics allow it.
+    lit.code_length = [12] * 288
+    lit.code_length[285] = 1
+    off.code_length = [1] * 32
+
+    best_spec = np.zeros((n, 2), dtype=np.int32)
+    optimize_matches(lit, off, window, table, best_spec, 0, n)
+    best_native = native.optimize_matches(
+        lit.code_length[:288], off.code_length[:32], window, table.astype(np.uint16), 0, n
+    ).astype(np.int32)
+    best_jax = optimize_matches_jax(
+        lit.code_length[:288], off.code_length[:32], window, table, 0, n
+    )
+    assert np.array_equal(best_spec, best_native)
+    assert np.array_equal(best_spec, best_jax)

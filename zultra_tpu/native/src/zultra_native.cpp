@@ -312,8 +312,10 @@ static void optimize_matches(const HuffEncoder& lit, const HuffEncoder& off,
             if (i + match_len > end) match_len = end - i;
 
             if (length >= kLeaveAlone) {
+                // Unsigned-wrap semantics: a clamped length below MIN maps
+                // to index 255, like the reference's unsigned parameter.
                 int32_t e = match_len - kMinMatch;
-                if (e > 255) e = 255;
+                if ((uint32_t)e > 255u) e = 255;
                 int32_t cur = lit.code_length[T.len_sym[e]] + T.len_extra[e] +
                               offset_size + cost[i + match_len];
                 if (best_cost > cur) {

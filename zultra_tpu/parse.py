@@ -61,7 +61,10 @@ def get_varlen_symbol(enc_len: int) -> int:
 
 
 def get_varlen_size(literals_encoder: HuffmanEncoder, enc_len: int) -> int:
-    idx = min(enc_len, 255)
+    # The reference takes enc_len as unsigned: a negative value (a ≥40-length
+    # match clamped below MIN_MATCH_SIZE at a block boundary) wraps past 255
+    # and is clamped to index 255 (blockdeflate.c:216-218). Replicate.
+    idx = enc_len if 0 <= enc_len <= 255 else 255
     return literals_encoder.code_length[int(MATCHLEN_SYMBOL[idx])] + int(MATCHLEN_EXTRA_BITS[idx])
 
 
