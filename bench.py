@@ -1,0 +1,137 @@
+"""Benchmark driver: end-to-end compression throughput with bit-exact
+parity checking against the reference zultra binary.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "MB/s", "vs_baseline": ...}
+
+vs_baseline is the ratio against the reference's published enwik8
+compression speed (3.38 MB/s, README.md:16 / BASELINE.md). enwik8 itself
+is not available in this zero-egress container, so the corpus is a
+deterministic text-heavy stand-in (concatenated source/doc text from the
+image, cycled to the target size) with similar compressibility; the same
+bytes are fed to the reference binary for the parity check.
+
+Env knobs:
+  BENCH_BYTES   corpus size (default 32 MiB)
+  BENCH_PARITY  "0" to skip the reference parity run (default on)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BASELINE_MBPS = 3.38  # reference zultra on enwik8 (README.md:16)
+CORPUS_CACHE = Path("/tmp/zultra_bench_corpus.bin")
+REF_BUILD = Path("/tmp/zultra_ref_build")
+
+
+def build_corpus(target_bytes: int) -> bytes:
+    if CORPUS_CACHE.exists() and CORPUS_CACHE.stat().st_size == target_bytes:
+        return CORPUS_CACHE.read_bytes()
+
+    # Deterministic text-heavy corpus: sorted source/doc files from the
+    # image (stable contents), cycled to size.
+    roots = [
+        Path("/root/reference"),
+        Path("/usr/local/lib/python3.12"),
+        Path("/opt/venv/lib/python3.12/site-packages/jax"),
+        Path("/opt/venv/lib/python3.12/site-packages/numpy"),
+    ]
+    parts = []
+    total = 0
+    for root in roots:
+        if not root.exists():
+            continue
+        for p in sorted(root.rglob("*.py"))[:4000]:
+            try:
+                b = p.read_bytes()
+            except OSError:
+                continue
+            parts.append(b)
+            total += len(b)
+            if total >= target_bytes:
+                break
+        if total >= target_bytes:
+            break
+    blob = b"".join(parts)
+    if len(blob) < target_bytes:
+        blob = (blob * (target_bytes // max(len(blob), 1) + 1))
+    blob = blob[:target_bytes]
+    CORPUS_CACHE.write_bytes(blob)
+    return blob
+
+
+def ensure_reference() -> Path | None:
+    binary = REF_BUILD / "zultra"
+    if binary.exists():
+        return binary
+    src = Path("/root/reference")
+    if not src.exists():
+        return None
+    import shutil
+
+    shutil.copytree(src, REF_BUILD, dirs_exist_ok=True)
+    try:
+        subprocess.run(["make", "-j4"], cwd=REF_BUILD, check=True, capture_output=True)
+    except Exception:
+        return None
+    return binary if binary.exists() else None
+
+
+def main() -> int:
+    target = int(os.environ.get("BENCH_BYTES", 32 * 1024 * 1024))
+    corpus = build_corpus(target)
+
+    import zultra_tpu as zt
+
+    # Warm up (build/load native lib, spin threads).
+    zt.compress(corpus[: 1 << 20], zt.FLAG_GZIP_FRAMING)
+
+    t0 = time.perf_counter()
+    blob = zt.compress(corpus, zt.FLAG_GZIP_FRAMING)
+    elapsed = time.perf_counter() - t0
+    mbps = len(corpus) / 1e6 / elapsed
+
+    # Validate with stock zlib.
+    import zlib
+
+    assert zlib.decompress(blob, 15 + 16) == corpus, "stock zlib roundtrip failed"
+
+    parity_delta = None
+    if os.environ.get("BENCH_PARITY", "1") != "0":
+        ref_bin = ensure_reference()
+        if ref_bin is not None:
+            inp = Path("/tmp/zultra_bench_in.bin")
+            outp = Path("/tmp/zultra_bench_ref.gz")
+            inp.write_bytes(corpus)
+            subprocess.run(
+                [str(ref_bin), "-gzip", str(inp), str(outp)],
+                check=True, capture_output=True,
+            )
+            ref_blob = outp.read_bytes()
+            parity_delta = 0 if ref_blob == blob else abs(len(ref_blob) - len(blob)) or 1
+
+    result = {
+        "metric": "text_corpus_gzip_compress_throughput_bitexact",
+        "value": round(mbps, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 3),
+        "corpus_bytes": len(corpus),
+        "compressed_bytes": len(blob),
+        "ratio_pct": round(100.0 * len(blob) / len(corpus), 2),
+        "parity_delta_bytes": parity_delta,
+        "engine": zt.get_engine().name,
+    }
+    print(json.dumps(result))
+    return 0 if parity_delta in (0, None) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

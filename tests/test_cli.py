@@ -1,0 +1,50 @@
+"""CLI surface tests (compress/verify/bench/self-test/dictionary)."""
+
+import subprocess
+import sys
+import zlib
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(args, cwd="/tmp"):
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin", "HOME": "/root"}
+    return subprocess.run(
+        [sys.executable, "-m", "zultra_tpu.cli", *args],
+        capture_output=True, text=True, cwd=cwd, env=env,
+    )
+
+
+def test_cli_compress_verify(tmp_path):
+    src = REPO / "README.md"
+    out = tmp_path / "out.gz"
+    result = run_cli(["-v", "-c", "-gzip", str(src), str(out)])
+    assert result.returncode == 0, result.stderr
+    assert "verified OK" in result.stdout
+    assert zlib.decompress(out.read_bytes(), 31) == src.read_bytes()
+
+
+def test_cli_zlib_dictionary(tmp_path):
+    src = REPO / "SURVEY.md"
+    out = tmp_path / "out.zz"
+    result = run_cli(["-zlib", "-D", str(src), "-c", str(src), str(out)])
+    assert result.returncode == 0, result.stderr
+
+
+def test_cli_dictionary_requires_zlib(tmp_path):
+    result = run_cli(["-gzip", "-D", "x", str(REPO / "README.md"), str(tmp_path / "o")])
+    assert result.returncode != 0
+    assert "zlib" in result.stderr
+
+
+def test_cli_quicktest():
+    result = run_cli(["-quicktest"])
+    assert result.returncode == 0, result.stderr
+    assert "self-tests passed" in result.stdout
+
+
+def test_cli_usage_error():
+    result = run_cli([])
+    assert result.returncode != 0
+    assert "usage" in result.stderr
