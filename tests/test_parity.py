@@ -92,3 +92,11 @@ def test_streaming_chunked_equals_oneshot(lz_corpus):
 def test_empty_input_errors():
     with pytest.raises(zt.StreamError):
         zt.compress(b"", zt.FLAG_GZIP_FRAMING)
+
+
+def test_fuzz_parity_short(ref_lib):
+    """30-second differential fuzz against the reference library."""
+    import fuzz_parity
+
+    count = fuzz_parity.run(30, seed=42, ref=ref_lib)
+    assert count > 20

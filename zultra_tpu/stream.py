@@ -44,9 +44,13 @@ from .engine import get_engine
 FINALIZE = 1
 CONTINUE = 0
 
-# Window pipeline: number of planner threads and max in-flight windows.
-PIPELINE_WORKERS = 2
-PIPELINE_DEPTH = 3
+# Window pipeline: number of planner threads and max in-flight windows
+# (ZULTRA_PIPELINE_WORKERS=1 disables the overlap, e.g. for scaling
+# measurements where process-level parallelism is under test).
+import os as _os
+
+PIPELINE_WORKERS = int(_os.environ.get("ZULTRA_PIPELINE_WORKERS", "2"))
+PIPELINE_DEPTH = max(PIPELINE_WORKERS + 1, 2)
 
 
 class StreamError(Exception):
