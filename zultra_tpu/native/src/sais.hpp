@@ -130,14 +130,20 @@ void sais_with_sentinel(const T* s, int32_t* sa, int32_t n, int32_t alphabet_siz
 } // namespace detail
 
 // Suffix array of a byte string (no sentinel requirement). Appends an
-// internal sentinel by shifting the alphabet.
-inline void suffix_array(const uint8_t* data, int32_t n, int32_t* sa) {
+// internal sentinel by shifting the alphabet. The optional scratch
+// vectors let callers reuse the two O(n) temporaries across invocations.
+inline void suffix_array(const uint8_t* data, int32_t n, int32_t* sa,
+                         std::vector<int32_t>* s_scratch = nullptr,
+                         std::vector<int32_t>* sa_scratch = nullptr) {
     if (n <= 0) return;
     if (n == 1) { sa[0] = 0; return; }
-    std::vector<int32_t> s(n + 1);
+    std::vector<int32_t> s_local, sa_local;
+    std::vector<int32_t>& s = s_scratch ? *s_scratch : s_local;
+    std::vector<int32_t>& sa_tmp = sa_scratch ? *sa_scratch : sa_local;
+    s.resize(n + 1);
+    sa_tmp.resize(n + 1);
     for (int32_t i = 0; i < n; ++i) s[i] = (int32_t)data[i] + 1;
     s[n] = 0;
-    std::vector<int32_t> sa_tmp(n + 1);
     detail::sais_with_sentinel(s.data(), sa_tmp.data(), n + 1, 257);
     // Drop the sentinel suffix (always first).
     std::memcpy(sa, sa_tmp.data() + 1, sizeof(int32_t) * n);

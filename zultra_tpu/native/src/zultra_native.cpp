@@ -19,6 +19,7 @@
 
 #include <atomic>
 #include <chrono>
+#include <mutex>
 #include <climits>
 #include <cstdint>
 #include <cstdio>
@@ -134,6 +135,13 @@ static const SymbolTables T;
 struct MatchFinder {
     std::vector<uint32_t> intervals;
     std::vector<uint32_t> pos_data;
+    // Scratch kept across windows (the job pool reuses MatchFinder
+    // instances, so these retain capacity and avoid refaulting pages).
+    std::vector<int32_t> sa_scratch;
+    std::vector<int32_t> plcp_scratch;
+    std::vector<int32_t> phi_scratch;
+    std::vector<int32_t> sais_s_scratch;
+    std::vector<int32_t> sais_sa_scratch;
     int32_t n;
 
     void build(const uint8_t* data, int32_t size) {
@@ -141,13 +149,16 @@ struct MatchFinder {
         intervals.resize(n);
         pos_data.resize(n + 1);
 
-        std::vector<int32_t> sa(n);
-        suffix_array(data, n, sa.data());
+        sa_scratch.resize(n);
+        std::vector<int32_t>& sa = sa_scratch;
+        suffix_array(data, n, sa.data(), &sais_s_scratch, &sais_sa_scratch);
 
         // Permuted LCP via the Φ method (amortized O(n)).
-        std::vector<int32_t> plcp(n);
+        plcp_scratch.resize(n);
+        std::vector<int32_t>& plcp = plcp_scratch;
         {
-            std::vector<int32_t> phi(n);
+            phi_scratch.resize(n);
+            std::vector<int32_t>& phi = phi_scratch;
             phi[sa[0]] = -1;
             for (int32_t r = 1; r < n; ++r) phi[sa[r]] = sa[r - 1];
             int32_t l = 0;
@@ -751,13 +762,38 @@ struct WindowJob {
     std::vector<uint8_t> window;  // owned copy (prev + in_size bytes)
     int32_t prev = 0;
     int32_t in_size = 0;
+    MatchFinder mf;
     std::vector<uint16_t> table;
     std::vector<uint16_t> best;
     std::vector<BlockPlan> plans;
 };
 
+// Job pool: windows are uniform in size within a stream, so recycling
+// jobs keeps their buffers' pages warm instead of refaulting ~70 MB of
+// fresh allocations per window.
+static std::mutex g_job_pool_mutex;
+static std::vector<WindowJob*> g_job_pool;
+
+static WindowJob* acquire_job() {
+    std::lock_guard<std::mutex> lock(g_job_pool_mutex);
+    if (!g_job_pool.empty()) {
+        WindowJob* job = g_job_pool.back();
+        g_job_pool.pop_back();
+        return job;
+    }
+    return new WindowJob();
+}
+
+static void release_job(WindowJob* job) {
+    if (!job) return;
+    job->plans.clear();
+    std::lock_guard<std::mutex> lock(g_job_pool_mutex);
+    if (g_job_pool.size() < 4) g_job_pool.push_back(job);
+    else delete job;
+}
+
 static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t in_size) {
-    WindowJob* job = new WindowJob();
+    WindowJob* job = acquire_job();
     const int32_t n = prev + in_size;
     job->prev = prev;
     job->in_size = in_size;
@@ -765,16 +801,12 @@ static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t
     const uint8_t* window = job->window.data();
     StageTimer timer;
 
-    MatchFinder mf;
+    MatchFinder& mf = job->mf;
     mf.build(window, n);
     timer.mark("sa+intervals");
 
     job->table.resize((int64_t)n * kMatchesPerPos * 2);
     build_match_table(mf, prev, n, job->table.data());
-    mf.intervals.clear();
-    mf.intervals.shrink_to_fit();
-    mf.pos_data.clear();
-    mf.pos_data.shrink_to_fit();
     timer.mark("match walk");
 
     job->best.assign((int64_t)n * 2, 0);
@@ -896,7 +928,7 @@ static int64_t compress_window(const uint8_t* window, int32_t prev, int32_t in_s
                                uint32_t* bits_data, int32_t* bits_count) {
     WindowJob* job = window_begin(window, prev, in_size);
     const int64_t result = window_emit(job, window_is_last, out, out_cap, bits_data, bits_count);
-    delete job;
+    release_job(job);
     return result;
 }
 
@@ -955,10 +987,10 @@ int64_t zn_window_emit(void* job, int32_t window_is_last,
                        uint32_t* bits_data, int32_t* bits_count) {
     zn::WindowJob* wj = (zn::WindowJob*)job;
     const int64_t result = zn::window_emit(wj, window_is_last, out, out_cap, bits_data, bits_count);
-    delete wj;
+    zn::release_job(wj);
     return result;
 }
 
-void zn_window_free(void* job) { delete (zn::WindowJob*)job; }
+void zn_window_free(void* job) { zn::release_job((zn::WindowJob*)job); }
 
 } // extern "C"
