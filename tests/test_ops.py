@@ -160,3 +160,19 @@ def test_dp_block_boundary_unsigned_wrap():
     )
     assert np.array_equal(best_spec, best_native)
     assert np.array_equal(best_spec, best_jax)
+
+
+def test_matchlen_pallas_interpret():
+    from zultra_tpu.ops.matchlen import match_lengths_pallas
+
+    rng = np.random.RandomState(11)
+    data = bytes(rng.randint(0, 4, 3000).astype(np.uint8))
+    pos = rng.randint(1, 3000, 100).astype(np.int32)
+    prev = (pos - rng.randint(1, 500, 100).clip(max=pos - 0)).clip(min=0).astype(np.int32)
+    got = match_lengths_pallas(np.frombuffer(data, np.uint8), pos, prev, interpret=True)
+    for k in range(100):
+        i, j = int(pos[k]), int(prev[k])
+        l = 0
+        while i + l < 3000 and j + l < 3000 and data[i + l] == data[j + l] and l < 258:
+            l += 1
+        assert got[k] == l, (k, i, j, got[k], l)

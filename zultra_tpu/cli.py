@@ -67,7 +67,12 @@ def do_compress(in_path: str, out_path: str, flags: int, dictionary: bytes | Non
             finalize = FINALIZE if len(chunk) < CHUNK_SIZE else CONTINUE
             fout.write(stream.compress(chunk, finalize))
             total_in += len(chunk)
+            if verbose and not finalize and stream.total_out >= 1024 and total_in % (64 * CHUNK_SIZE) == 0:
+                ratio = stream.total_out * 100.0 / max(stream.total_in, 1)
+                print(f"\r{stream.total_in} => {stream.total_out} ({ratio:.1f} %)   ", end="", flush=True)
             if finalize:
+                if verbose:
+                    print("\r", end="")
                 break
     elapsed = time.perf_counter() - start
 
