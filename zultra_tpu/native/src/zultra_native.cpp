@@ -663,17 +663,34 @@ static void plan_block(const uint8_t* window, const uint16_t* table, uint16_t* b
     lit.build_dynamic_codewords();
     off.build_dynamic_codewords();
 
+    // Convergence memoization: a pass whose (default-filled) code lengths
+    // equal the previous pass's reproduces the identical parse and
+    // histogram, so the DP and the recount can be skipped — a pure
+    // identity, not an approximation (the reference just re-runs them).
+    int32_t prev_lit_lengths[kNumLiteralSyms];
+    int32_t prev_off_lengths[kNumOffsetSyms];
+    bool have_prev = false;
+
     for (int32_t pass = 0; pass <= kConvergencePasses; ++pass) {
         for (int32_t sidx = 0; sidx < kNumLiteralSyms; ++sidx)
             if (lit.code_length[sidx] == 0) lit.code_length[sidx] = 9;
         for (int32_t sidx = 0; sidx < kNumOffsetSyms; ++sidx)
             if (off.code_length[sidx] == 0) off.code_length[sidx] = 6;
 
-        optimize_matches(lit, off, window, table, start, end, best, cost_scratch);
+        const bool converged = have_prev &&
+            std::memcmp(prev_lit_lengths, lit.code_length, sizeof(prev_lit_lengths)) == 0 &&
+            std::memcmp(prev_off_lengths, off.code_length, sizeof(prev_off_lengths)) == 0;
+        std::memcpy(prev_lit_lengths, lit.code_length, sizeof(prev_lit_lengths));
+        std::memcpy(prev_off_lengths, off.code_length, sizeof(prev_off_lengths));
+        have_prev = true;
 
-        std::memset(lit.entropy, 0, sizeof(lit.entropy));
-        std::memset(off.entropy, 0, sizeof(off.entropy));
-        token_entropy(lit, off, window, best, 1, start, end);
+        if (!converged) {
+            optimize_matches(lit, off, window, table, start, end, best, cost_scratch);
+
+            std::memset(lit.entropy, 0, sizeof(lit.entropy));
+            std::memset(off.entropy, 0, sizeof(off.entropy));
+            token_entropy(lit, off, window, best, 1, start, end);
+        }
 
         if (pass == kConvergencePasses) {
             int32_t n_offset_lens = 0;
