@@ -15,8 +15,14 @@ SRC = HERE / "src"
 OUT = HERE / "libzultra_tpu.so"
 
 
-def build(debug: bool = False) -> Path:
-    flags = ["-O0", "-g"] if debug else ["-O3", "-funroll-loops", "-march=native"]
+def build(debug: bool = False, sanitize: str | None = None) -> Path:
+    """Build the shared library. ``sanitize`` may be 'thread' or 'address'
+    (the planner threads are the only shared-state concurrency; TSan runs
+    are part of the test strategy since the reference is single-threaded
+    and has no race surface at all)."""
+    flags = ["-O0", "-g"] if debug or sanitize else ["-O3", "-funroll-loops", "-march=native"]
+    if sanitize:
+        flags += [f"-fsanitize={sanitize}", "-fno-omit-frame-pointer"]
     cmd = [
         "g++", "-std=c++17", "-shared", "-fPIC", "-Wall", "-Wextra",
         "-Wno-unused-parameter", *flags, "-pthread",
@@ -36,5 +42,10 @@ def ensure_built() -> Path:
 
 
 if __name__ == "__main__":
-    path = build(debug="--debug" in sys.argv)
+    sanitize = None
+    if "--tsan" in sys.argv:
+        sanitize = "thread"
+    elif "--asan" in sys.argv:
+        sanitize = "address"
+    path = build(debug="--debug" in sys.argv, sanitize=sanitize)
     print(f"built {path}")
