@@ -105,16 +105,20 @@ def main() -> int:
     assert zlib.decompress(blob, 15 + 16) == corpus, "stock zlib roundtrip failed"
 
     parity_delta = None
+    ref_mbps = None
     if os.environ.get("BENCH_PARITY", "1") != "0":
         ref_bin = ensure_reference()
         if ref_bin is not None:
             inp = Path("/tmp/zultra_bench_in.bin")
             outp = Path("/tmp/zultra_bench_ref.gz")
             inp.write_bytes(corpus)
+            t0 = time.perf_counter()
             subprocess.run(
                 [str(ref_bin), "-gzip", str(inp), str(outp)],
                 check=True, capture_output=True,
             )
+            ref_elapsed = time.perf_counter() - t0
+            ref_mbps = len(corpus) / 1e6 / ref_elapsed
             ref_blob = outp.read_bytes()
             parity_delta = 0 if ref_blob == blob else abs(len(ref_blob) - len(blob)) or 1
 
@@ -127,6 +131,8 @@ def main() -> int:
         "compressed_bytes": len(blob),
         "ratio_pct": round(100.0 * len(blob) / len(corpus), 2),
         "parity_delta_bytes": parity_delta,
+        "reference_same_host_MBps": round(ref_mbps, 3) if ref_mbps else None,
+        "speedup_vs_reference_same_host": round(mbps / ref_mbps, 3) if ref_mbps else None,
         "engine": zt.get_engine().name,
     }
     print(json.dumps(result))

@@ -176,3 +176,89 @@ def test_matchlen_pallas_interpret():
         while i + l < 3000 and j + l < 3000 and data[i + l] == data[j + l] and l < 258:
             l += 1
         assert got[k] == l, (k, i, j, got[k], l)
+
+
+def brute_force_parse_cost(window, table, lit_lens, off_lens, cached=None):
+    """Exponential-time optimal parse oracle on tiny inputs: minimum bit
+    cost over every (literal | truncated-match) decomposition using the
+    same candidate set and cost model as the DP."""
+    from zultra_tpu.constants import (
+        LEAVE_ALONE_MATCH_SIZE,
+        MATCHLEN_EXTRA_BITS,
+        MATCHLEN_SYMBOL,
+        MIN_MATCH_SIZE,
+        OFFSET_EXTRA_BITS,
+        OFFSET_SYMBOL,
+        offset_table_index,
+    )
+
+    n = len(window)
+    INF = float("inf")
+    memo = {}
+
+    def varlen_size(enc_len):
+        idx = enc_len if 0 <= enc_len <= 255 else 255
+        return lit_lens[int(MATCHLEN_SYMBOL[idx])] + int(MATCHLEN_EXTRA_BITS[idx])
+
+    def best(i):
+        if i >= n:
+            return 0
+        if i in memo:
+            return memo[i]
+        cost = lit_lens[int(window[i])] + best(i + 1)
+        for m in range(8):
+            length = int(table[i, m, 0])
+            if length < MIN_MATCH_SIZE:
+                break
+            offset = int(table[i, m, 1])
+            t = offset_table_index(offset)
+            osize = off_lens[int(OFFSET_SYMBOL[t])] + int(OFFSET_EXTRA_BITS[t])
+            clamped = min(length, n - i)
+            if length >= LEAVE_ALONE_MATCH_SIZE:
+                ks = [clamped]
+            else:
+                ks = range(MIN_MATCH_SIZE, clamped + 1)
+            for k in ks:
+                c = varlen_size(k - MIN_MATCH_SIZE) + osize + best(i + k)
+                cost = min(cost, c)
+        memo[i] = cost
+        return cost
+
+    return best(0)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_dp_cost_matches_brute_force(seed):
+    """The DP's chosen parse must achieve the brute-force minimum cost."""
+    from zultra_tpu.constants import MIN_MATCH_SIZE
+    from zultra_tpu.huffman import HuffmanEncoder
+    from zultra_tpu.parse import optimize_matches, get_offset_size, get_varlen_size
+
+    rng = np.random.RandomState(400 + seed)
+    n = int(rng.randint(12, 40))
+    window = rng.randint(0, 5, n).astype(np.uint8)
+    table = _random_match_table(rng, n)
+
+    lit = HuffmanEncoder(288, 15, 0)
+    off = HuffmanEncoder(32, 15, 0)
+    lit.code_length = [int(x) for x in rng.randint(1, 16, 288)]
+    off.code_length = [int(x) for x in rng.randint(1, 16, 32)]
+
+    best = np.zeros((n, 2), dtype=np.int32)
+    optimize_matches(lit, off, window, table, best, 0, n)
+
+    # Walk the chosen parse and add up its cost.
+    cost = 0
+    i = 0
+    while i < n:
+        length = int(best[i, 0])
+        if length >= MIN_MATCH_SIZE:
+            cost += get_varlen_size(lit, length - MIN_MATCH_SIZE)
+            cost += get_offset_size(off, int(best[i, 1]))
+            i += length
+        else:
+            cost += lit.code_length[int(window[i])]
+            i += 1
+
+    oracle = brute_force_parse_cost(window, table, lit.code_length, off.code_length)
+    assert cost == oracle

@@ -5,10 +5,10 @@ histograms are psum'd across the device mesh (see zultra_tpu.parallel).
 
 Two implementations:
 * ``token_histogram_jax`` — XLA one-hot matmul (MXU): tokens → one-hot
-  bf16/int32 matrix product with a ones vector, the canonical TPU bincount.
+  matrix product with a ones vector, the canonical TPU bincount.
 * ``byte_histogram_pallas`` — a Pallas kernel tiling the input through
-  VMEM and accumulating per-tile one-hot sums on the MXU, demonstrating
-  the VMEM/grid pattern for the larger fused kernels to come.
+  VMEM as (1, tile) rows and accumulating per-tile one-hot sums on the
+  MXU. TPU-lowering friendly: 2D blocks, iota compares, no gathers.
 """
 
 from __future__ import annotations
@@ -19,13 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-
-try:  # pltpu only resolves on TPU-capable installs; guard for CPU tests
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAS_PLTPU = True
-except Exception:  # pragma: no cover
-    _HAS_PLTPU = False
 
 
 @functools.partial(jax.jit, static_argnames=("n_symbols",))
@@ -42,7 +35,7 @@ def _hist_kernel(x_ref, out_ref, *, tile: int, n_symbols: int):
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    data = x_ref[:].astype(jnp.int32)  # (tile,)
+    data = x_ref[0, :].astype(jnp.int32)  # (tile,)
     # One-hot accumulate on the MXU: (1, tile) @ (tile, n_symbols).
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, n_symbols), 1)
     one_hot = (data[:, None] == cols).astype(jnp.float32)
@@ -59,20 +52,17 @@ def byte_histogram_pallas(data, n_symbols: int = 256, tile: int = 4096,
     arr = np.asarray(data, dtype=np.uint8)
     n = arr.shape[0]
     padded = int(np.ceil(max(n, 1) / tile)) * tile
-    if padded != n:
-        # Pad with an out-of-range marker by widening to int32.
-        wide = np.full(padded, n_symbols, dtype=np.int32)
-        wide[:n] = arr
-    else:
-        wide = arr.astype(np.int32)
+    # Pad with an out-of-range marker by widening to int32.
+    wide = np.full(padded, n_symbols, dtype=np.int32)
+    wide[:n] = arr
 
     grid = padded // tile
     out = pl.pallas_call(
         functools.partial(_hist_kernel, tile=tile, n_symbols=n_symbols),
         out_shape=jax.ShapeDtypeStruct((1, n_symbols), jnp.float32),
         grid=(grid,),
-        in_specs=[pl.BlockSpec((tile,), lambda i: (i,))],
+        in_specs=[pl.BlockSpec((1, tile), lambda i: (0, i))],
         out_specs=pl.BlockSpec((1, n_symbols), lambda i: (0, 0)),
         interpret=interpret,
-    )(jnp.asarray(wide))
+    )(jnp.asarray(wide.reshape(1, padded)))
     return np.asarray(out)[0].astype(np.int64)
