@@ -48,3 +48,22 @@ def test_cli_usage_error():
     result = run_cli([])
     assert result.returncode != 0
     assert "usage" in result.stderr
+
+
+def test_cli_output_matches_reference_cli(ref_binary, lz_corpus_large, tmp_path):
+    """File-level byte parity between the two CLIs (both feed the stream
+    in 16 KB chunks; sizes chosen to straddle chunk and window edges)."""
+    import subprocess as sp
+
+    base = b"".join(lz_corpus_large.values())
+    for size in (48944, 16384 * 3, 16384 * 3 + 1, 1048576 + 5, len(base)):
+        data = base[:size]
+        src = tmp_path / f"in_{size}.bin"
+        src.write_bytes(data)
+        ref_out = tmp_path / f"ref_{size}.gz"
+        my_out = tmp_path / f"my_{size}.gz"
+        sp.run([str(ref_binary), "-gzip", str(src), str(ref_out)],
+               check=True, capture_output=True)
+        result = run_cli(["-gzip", str(src), str(my_out)])
+        assert result.returncode == 0, result.stderr
+        assert my_out.read_bytes() == ref_out.read_bytes(), size

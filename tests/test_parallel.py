@@ -86,3 +86,34 @@ def test_compress_corpus_threads(lz_corpus):
     outs = compress_corpus(blobs, zt.FLAG_ZLIB_FRAMING)
     for blob, out in zip(blobs, outs):
         assert zlib.decompress(out) == blob
+
+
+def test_profiling_stage_timers():
+    from zultra_tpu.profiling import stage_report, stage_timer
+
+    with stage_timer("unit"):
+        pass
+    report = stage_report(reset=True)
+    assert report["unit"]["calls"] == 1
+
+
+def test_stream_stats(lz_corpus):
+    import zultra_tpu as zt
+    from zultra_tpu.profiling import stream_stats
+
+    s = zt.Stream(zt.FLAG_GZIP_FRAMING)
+    s.compress(lz_corpus["lz_4096_3_0.9"], zt.FINALIZE)
+    stats = stream_stats(s)
+    assert stats["total_in"] == 4096
+    assert 0 < stats["ratio_pct"] < 100
+
+
+def test_engine_env_selection(monkeypatch):
+    import zultra_tpu.engine as eng
+
+    monkeypatch.setattr(eng, "_active_engine", None)
+    monkeypatch.setenv("ZULTRA_ENGINE", "spec")
+    assert eng.get_engine().name == "spec"
+    monkeypatch.setattr(eng, "_active_engine", None)
+    monkeypatch.delenv("ZULTRA_ENGINE", raising=False)
+    assert eng.get_engine().name in ("native", "spec")

@@ -100,3 +100,11 @@ def test_fuzz_parity_short(ref_lib):
 
     count = fuzz_parity.run(30, seed=42, ref=ref_lib)
     assert count > 20
+
+
+def test_oversized_dictionary_rejected():
+    import zultra_tpu as zt
+
+    stream = zt.Stream(zt.FLAG_ZLIB_FRAMING)
+    with pytest.raises(zt.StreamError):
+        stream.set_dictionary(b"x" * 40000)

@@ -47,7 +47,7 @@ def get_lib():
         ]
 
         lib.zn_window_begin.restype = ctypes.c_void_p
-        lib.zn_window_begin.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32]
+        lib.zn_window_begin.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
 
         lib.zn_window_emit.restype = ctypes.c_int64
         lib.zn_window_emit.argtypes = [
@@ -129,13 +129,15 @@ class NativeEngine:
 
     # -- pipelined path ----------------------------------------------------
 
-    def begin_window(self, window: np.ndarray, prev: int, in_size: int) -> int:
+    def begin_window(self, window: np.ndarray, prev: int, in_size: int,
+                     n_threads: int = 0) -> int:
         """Run the bit-phase-independent stages (match finding, splitting,
         per-block planning) and return an opaque job handle. Safe to call
         concurrently for several windows: the library copies the window
-        bytes and ctypes releases the GIL during the call."""
+        bytes and ctypes releases the GIL during the call. ``n_threads``
+        caps the per-window block-planning threads (0 = all cores)."""
         lib = get_lib()
-        handle = lib.zn_window_begin(np.ascontiguousarray(window), prev, in_size)
+        handle = lib.zn_window_begin(np.ascontiguousarray(window), prev, in_size, n_threads)
         if not handle:
             raise RuntimeError("native window planning failed")
         return handle

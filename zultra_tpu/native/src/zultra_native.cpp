@@ -809,7 +809,8 @@ static void release_job(WindowJob* job) {
     else delete job;
 }
 
-static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t in_size) {
+static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t in_size,
+                               int32_t n_threads_req) {
     WindowJob* job = acquire_job();
     const int32_t n = prev + in_size;
     job->prev = prev;
@@ -847,7 +848,8 @@ static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t
     }
     std::vector<BlockPlan>& plans = job->plans;
 
-    int32_t n_threads = (int32_t)std::thread::hardware_concurrency();
+    int32_t n_threads = n_threads_req > 0 ? n_threads_req
+                                          : (int32_t)std::thread::hardware_concurrency();
     if (const char* env = std::getenv("ZN_THREADS")) n_threads = std::atoi(env);
     if (n_threads < 1) n_threads = 1;
     if (n_threads > (int32_t)plans.size()) n_threads = (int32_t)plans.size();
@@ -943,7 +945,7 @@ static int64_t compress_window(const uint8_t* window, int32_t prev, int32_t in_s
                                int32_t window_is_last,
                                uint8_t* out, int64_t out_cap,
                                uint32_t* bits_data, int32_t* bits_count) {
-    WindowJob* job = window_begin(window, prev, in_size);
+    WindowJob* job = window_begin(window, prev, in_size, 0);
     const int64_t result = window_emit(job, window_is_last, out, out_cap, bits_data, bits_count);
     release_job(job);
     return result;
@@ -995,8 +997,9 @@ int64_t zn_compress_window(const uint8_t* window, int32_t prev, int32_t in_size,
 // Pipelined variant: begin() runs everything bit-phase independent and may
 // execute concurrently for several windows; emit() is called in stream
 // order and frees the job.
-void* zn_window_begin(const uint8_t* window, int32_t prev, int32_t in_size) {
-    return zn::window_begin(window, prev, in_size);
+void* zn_window_begin(const uint8_t* window, int32_t prev, int32_t in_size,
+                      int32_t n_threads) {
+    return zn::window_begin(window, prev, in_size, n_threads);
 }
 
 int64_t zn_window_emit(void* job, int32_t window_is_last,

@@ -94,6 +94,12 @@ class Stream:
     def set_dictionary(self, dictionary: bytes) -> None:
         if self.header_emitted or self.previous_block_size:
             raise StreamError("dictionary must be set before compressing")
+        if len(dictionary) > HISTORY_SIZE:
+            # The reference API would underflow its window buffer here
+            # (only its CLI clamps); fail loudly instead.
+            raise StreamError(
+                f"dictionary exceeds the {HISTORY_SIZE}-byte history window"
+            )
         self.dictionary = bytes(dictionary)
 
     def compress(self, data: bytes | bytearray | memoryview, finalize: int = CONTINUE) -> bytes:
@@ -199,7 +205,16 @@ class Stream:
             else:
                 out_head = b""
             win_copy = np.ascontiguousarray(window).copy()
-            future = self._executor.submit(self.engine.begin_window, win_copy, prev, in_size)
+            # Avoid thread oversubscription: when several windows plan
+            # concurrently, give each a fair share of the cores; the last
+            # window of a stream (nothing else in flight) gets them all.
+            if window_is_last and not self._pending:
+                n_threads = 0
+            else:
+                n_threads = max(1, (_os.cpu_count() or 2) // PIPELINE_WORKERS)
+            future = self._executor.submit(
+                self.engine.begin_window, win_copy, prev, in_size, n_threads
+            )
             self._pending.append((future, window_is_last))
             self._slide_history(in_size)
             return out_head + self._drain_pending(only_ready=True)
