@@ -14,7 +14,7 @@ exists for drop-in ports of zlib/zultra-shaped call sites.
 
 from __future__ import annotations
 
-from .stream import CONTINUE, FINALIZE, Stream, StreamError
+from .stream import CONTINUE, Stream, StreamError
 
 OK = 0
 STREAM_END = 1

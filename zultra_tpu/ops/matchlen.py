@@ -15,8 +15,6 @@ sharded statistics path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

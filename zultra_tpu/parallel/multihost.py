@@ -78,7 +78,6 @@ def corpus_histogram_psum(local_hist: np.ndarray):
 def bench_scaling(data: bytes, worker_counts=(1, 2), flags=0, max_block_size: int = 0):
     """Measure shard-parallel throughput at several worker counts and the
     resulting scaling efficiency. Returns a dict keyed by worker count."""
-    import pickle
     import subprocess
     import sys
     import tempfile

@@ -19,6 +19,7 @@ Parity notes (judge-checkable against the reference):
 
 from __future__ import annotations
 
+import os
 from collections import deque
 
 import numpy as np
@@ -47,9 +48,7 @@ CONTINUE = 0
 # Window pipeline: number of planner threads and max in-flight windows
 # (ZULTRA_PIPELINE_WORKERS=1 disables the overlap, e.g. for scaling
 # measurements where process-level parallelism is under test).
-import os as _os
-
-PIPELINE_WORKERS = int(_os.environ.get("ZULTRA_PIPELINE_WORKERS", "2"))
+PIPELINE_WORKERS = int(os.environ.get("ZULTRA_PIPELINE_WORKERS", "2"))
 PIPELINE_DEPTH = max(PIPELINE_WORKERS + 1, 2)
 
 
@@ -80,7 +79,6 @@ class Stream:
         self.total_in = 0
         self.total_out = 0
         self.header_emitted = False
-        self.finalized = False
         self.footer_emitted = False
         out_cap = 1 + self.max_block_size + (1 + 4) * ((self.max_block_size // 65535) + 1)
         self.out_buffer = bytearray(out_cap)
@@ -118,7 +116,6 @@ class Stream:
                 self.dictionary, dtype=np.uint8
             )
             self.previous_block_size = dict_size
-            self._dictionary_preloaded = True
 
         data = memoryview(bytes(data))
         pos = 0
@@ -211,7 +208,7 @@ class Stream:
             if window_is_last and not self._pending:
                 n_threads = 0
             else:
-                n_threads = max(1, (_os.cpu_count() or 2) // PIPELINE_WORKERS)
+                n_threads = max(1, (os.cpu_count() or 2) // PIPELINE_WORKERS)
             future = self._executor.submit(
                 self.engine.begin_window, win_copy, prev, in_size, n_threads
             )
