@@ -117,3 +117,37 @@ def test_engine_env_selection(monkeypatch):
     monkeypatch.setattr(eng, "_active_engine", None)
     monkeypatch.delenv("ZULTRA_ENGINE", raising=False)
     assert eng.get_engine().name in ("native", "spec")
+
+
+def test_multihost_shard_and_members(lz_corpus):
+    import zlib
+
+    import zultra_tpu as zt
+    from zultra_tpu.parallel.multihost import (
+        compress_shard_members,
+        process_info,
+        shard_blobs,
+    )
+
+    idx, count = process_info()
+    assert idx == 0 and count >= 1
+    blobs = [lz_corpus["lz_4096_3_0.9"], lz_corpus["lz_4096_256_0.2"],
+             lz_corpus["lz_16384_32_0.6"]]
+    mine = shard_blobs(blobs, 0, 2)
+    assert mine == [blobs[0], blobs[2]]
+    members = compress_shard_members(mine, zt.FLAG_GZIP_FRAMING)
+    # Concatenated gzip members form a valid multi-member gzip stream.
+    import gzip
+
+    assert gzip.decompress(b"".join(members)) == b"".join(mine)
+    for blob, member in zip(mine, members):
+        assert zlib.decompress(member, 31) == blob
+
+
+def test_multihost_bench_scaling_smoke(lz_corpus):
+    from zultra_tpu.parallel.multihost import bench_scaling
+
+    data = lz_corpus["lz_16384_256_0.2"] * 4
+    res = bench_scaling(data, worker_counts=(1,))
+    assert res[1]["MBps"] > 0
+    assert res[1]["efficiency"] == 1.0
