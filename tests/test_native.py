@@ -80,3 +80,14 @@ def test_native_streaming_chunks(lz_corpus_large):
         out += stream.compress(data[i : i + 10000], zt.CONTINUE)
     out += stream.compress(b"", zt.FINALIZE)
     assert bytes(out) == oneshot
+
+
+def test_threaded_compression_is_deterministic(lz_corpus_large):
+    """The window pipeline + block threads must not introduce any
+    nondeterminism: repeated runs emit identical bytes."""
+    import zultra_tpu as zt
+
+    data = b"".join(lz_corpus_large.values())
+    first = zt.compress(data, zt.FLAG_GZIP_FRAMING, max_block_size=65536)
+    for _ in range(2):
+        assert zt.compress(data, zt.FLAG_GZIP_FRAMING, max_block_size=65536) == first

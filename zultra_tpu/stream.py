@@ -45,10 +45,13 @@ from .engine import get_engine
 FINALIZE = 1
 CONTINUE = 0
 
-# Window pipeline: number of planner threads and max in-flight windows
-# (ZULTRA_PIPELINE_WORKERS=1 disables the overlap, e.g. for scaling
-# measurements where process-level parallelism is under test).
-PIPELINE_WORKERS = int(os.environ.get("ZULTRA_PIPELINE_WORKERS", "2"))
+# Window pipeline: number of concurrently planned windows and max
+# in-flight jobs. Defaults scale with the host (2 windows in flight on a
+# 2-core box, up to 4 on larger hosts; per-window block threads take the
+# rest — see _compress_window). ZULTRA_PIPELINE_WORKERS=1 disables the
+# overlap, e.g. for scaling measurements.
+_DEFAULT_WORKERS = max(2, min(4, (os.cpu_count() or 2) // 2))
+PIPELINE_WORKERS = int(os.environ.get("ZULTRA_PIPELINE_WORKERS", str(_DEFAULT_WORKERS)))
 PIPELINE_DEPTH = max(PIPELINE_WORKERS + 1, 2)
 
 
