@@ -90,3 +90,38 @@ def test_skip_then_find_consistency():
     table = find_all_matches(arr, 256, 512)
     l, o = int(table[256, 0, 0]), int(table[256, 0, 1])
     assert o == 256 and l == 256  # full-history match (clamped to window end)
+
+
+def test_walk_equals_nearest_occurrence_staircase():
+    """The lazy interval walk's match list equals a closed form: scanning
+    previous positions from nearest to farthest, report each position
+    whose lcp strictly exceeds every nearer position's lcp (longest
+    first, capped at 8). This is the correctness basis for the planned
+    data-parallel (PSV/NSV + RMQ) matchfinder — see docs/STATUS.md."""
+    import numpy as np
+
+    rng = np.random.RandomState(123)
+    for _ in range(15):
+        n = int(rng.randint(30, 250))
+        data = rng.randint(0, int(rng.choice([2, 4, 8])), n).astype(np.uint8)
+        table = find_all_matches(data, 0, n)
+        raw = bytes(data)
+        for i in range(n):
+            cands = []
+            for j in range(i):
+                l = 0
+                while i + l < n and raw[j + l] == raw[i + l] and l < MAX_MATCH_SIZE:
+                    l += 1
+                if l >= MIN_MATCH_SIZE:
+                    cands.append((l, j))
+            cands.sort(key=lambda t: -t[1])  # nearest first
+            best = 0
+            rows = []
+            for l, j in cands:
+                l = min(l, n - i)
+                if l > best and l >= MIN_MATCH_SIZE:
+                    rows.append((l, i - j))
+                    best = l
+            rows.reverse()
+            walk = [(int(l), int(o)) for l, o in table[i] if l >= MIN_MATCH_SIZE]
+            assert walk == rows[:8], (i, walk, rows[:8])
