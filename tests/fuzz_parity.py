@@ -74,7 +74,9 @@ def random_case(rng: np.random.RandomState):
 
     flags = int(rng.choice(FLAGS))
     dictionary = None
-    if flags == zt.FLAG_ZLIB_FRAMING and rng.randint(4) == 0 and len(data) > 64:
+    # The library (unlike the reference CLI) accepts preset dictionaries
+    # with every framing; fuzz them all.
+    if rng.randint(4) == 0 and len(data) > 64:
         dictionary = bytes(data[: int(rng.randint(1, min(len(data), 32768)))])
     return data, flags, block, dictionary
 
