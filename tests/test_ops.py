@@ -262,3 +262,13 @@ def test_dp_cost_matches_brute_force(seed):
 
     oracle = brute_force_parse_cost(window, table, lit.code_length, off.code_length)
     assert cost == oracle
+
+
+def test_suffix_array_jax_window_scale():
+    """SA kernel at a realistic window scale (50 KB) against SA-IS."""
+    from zultra_tpu import native
+    from zultra_tpu.ops import suffix_array_jax
+
+    rng = np.random.RandomState(99)
+    data = rng.randint(0, 64, 50000).astype(np.uint8)
+    assert np.array_equal(suffix_array_jax(data), native.suffix_array(data))
