@@ -108,3 +108,15 @@ def test_oversized_dictionary_rejected():
     stream = zt.Stream(zt.FLAG_ZLIB_FRAMING)
     with pytest.raises(zt.StreamError):
         stream.set_dictionary(b"x" * 40000)
+
+
+def test_memory_bound_matches_reference(ref_lib):
+    import ctypes
+
+    for size in (0, 1, 1000, 65535, 1 << 20, 10 << 20):
+        for flags in (0, 1, 2):
+            for block in (0, 32768, 2097152):
+                ref = ref_lib.lib.zultra_memory_bound(
+                    ctypes.c_size_t(size), flags, block
+                )
+                assert zt.memory_bound(size, flags, block) == ref, (size, flags, block)
