@@ -272,3 +272,54 @@ def test_suffix_array_jax_window_scale():
     rng = np.random.RandomState(99)
     data = rng.randint(0, 64, 50000).astype(np.uint8)
     assert np.array_equal(suffix_array_jax(data), native.suffix_array(data))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_psv_nsv_jax_matches_stack_oracle(seed):
+    from zultra_tpu.ops.nsv import psv_nsv_jax
+
+    rng = np.random.RandomState(300 + seed)
+    n = int(rng.randint(1, 800))
+    a = rng.randint(0, int(rng.choice([4, 50, 100000])), n).astype(np.int32)
+
+    # Sequential stack oracle
+    psv_o = np.full(n, -1, np.int32)
+    stack = []
+    for i in range(n):
+        while stack and a[stack[-1]] >= a[i]:
+            stack.pop()
+        if stack:
+            psv_o[i] = stack[-1]
+        stack.append(i)
+    nsv_o = np.full(n, n, np.int32)
+    stack = []
+    for i in range(n - 1, -1, -1):
+        while stack and a[stack[-1]] >= a[i]:
+            stack.pop()
+        if stack:
+            nsv_o[i] = stack[-1]
+        stack.append(i)
+
+    psv, nsv = psv_nsv_jax(a)
+    assert np.array_equal(psv, psv_o)
+    assert np.array_equal(nsv, nsv_o)
+
+
+def test_lcp_pairs_jax():
+    from zultra_tpu.ops.nsv import lcp_pairs_jax
+
+    rng = np.random.RandomState(9)
+    n = 500
+    data = rng.randint(0, 3, n).astype(np.uint8)
+    i_pos = rng.randint(0, n, 200).astype(np.int32)
+    j_pos = rng.randint(0, n, 200).astype(np.int32)
+    got = lcp_pairs_jax(data, i_pos, j_pos)
+    raw = bytes(data)
+    for k in range(200):
+        i, j = int(i_pos[k]), int(j_pos[k])
+        l = 0
+        while i + l < n and j + l < n and raw[i + l] == raw[j + l]:
+            l += 1
+        if i == j:
+            l = n - i
+        assert got[k] == l, (k, i, j, got[k], l)
