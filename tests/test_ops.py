@@ -323,3 +323,21 @@ def test_lcp_pairs_jax():
         if i == j:
             l = n - i
         assert got[k] == l, (k, i, j, got[k], l)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_range_max_below_jax(seed):
+    from zultra_tpu.ops.nsv import range_max_below_jax
+
+    rng = np.random.RandomState(500 + seed)
+    n = int(rng.randint(1, 300))
+    a = rng.randint(0, 500, n).astype(np.int32)
+    q = 40
+    lo = rng.randint(0, n, q)
+    hi = np.minimum(lo + rng.randint(1, n + 1, q), n)
+    th = rng.randint(0, 600, q)
+    got = range_max_below_jax(a, lo, hi, th)
+    for k in range(q):
+        vals = [x for x in a[lo[k] : hi[k]] if x < th[k]]
+        want = max(vals) if vals else -(2**30)
+        assert got[k] == want

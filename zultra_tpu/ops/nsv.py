@@ -146,3 +146,79 @@ def lcp_pairs_jax(data, i_positions, j_positions) -> np.ndarray:
     i_pos = jnp.asarray(np.asarray(i_positions, dtype=np.int32))
     j_pos = jnp.asarray(np.asarray(j_positions, dtype=np.int32))
     return np.asarray(_lcp_pairs_impl(arr, i_pos, j_pos, _num_levels(n)))
+
+
+# ---------------------------------------------------------------------------
+# Range max-below-threshold: the staircase matchfinder's remaining query.
+# For interval members in suffix-array order, "nearest previous occurrence"
+# is max(pos) among pos < i within the interval's rank range.
+# ---------------------------------------------------------------------------
+
+
+def _build_merge_sort_tree(a: jnp.ndarray, levels: int):
+    """tree[l] = the array with every aligned 2^l block sorted ascending."""
+    n = a.shape[0]
+    out = [a]
+    cur = a
+    for l in range(1, levels + 1):
+        width = 1 << l
+        cur = jnp.sort(cur.reshape(n // width, width), axis=1).reshape(n)
+        out.append(cur)
+    return jnp.stack(out)  # (levels+1, n)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "levels"))
+def _range_max_below_impl(a, lo, hi, thresh, n, levels):
+    tree = _build_merge_sort_tree(a, levels)
+    neg = jnp.int32(-(2**30))
+
+    def seg_max_below(level, seg_start, width, t, active):
+        """Largest value < t inside the sorted run
+        tree[level][seg_start : seg_start+width] (width = 2^level).
+        Branchless power-of-two lower bound: for step = W, W/2, …, 1,
+        advance when the run's (pos+step-1)-th element is < t; the final
+        pos is the count of qualifying elements."""
+        count = jnp.zeros_like(seg_start)
+        for shift in range(level, -1, -1):
+            step = 1 << shift
+            probe = jnp.clip(seg_start + count + step - 1, 0, n - 1)
+            val = tree[level, probe]
+            take = ((count + step) <= width) & (val < t)
+            count = jnp.where(take, count + step, count)
+        has = active & (count > 0)
+        best = tree[level, jnp.clip(seg_start + count - 1, 0, n - 1)]
+        return jnp.where(has, best, neg)
+
+    result = jnp.full(lo.shape, neg, jnp.int32)
+    a_cur = lo
+    b_cur = hi
+    for l in range(levels + 1):
+        width = 1 << l
+        # Peel a right-misaligned prefix segment at this level.
+        take_a = (a_cur < b_cur) & ((a_cur & width) != 0)
+        seg = seg_max_below(l, a_cur, jnp.full_like(a_cur, width), thresh, take_a)
+        result = jnp.maximum(result, jnp.where(take_a, seg, neg))
+        a_cur = jnp.where(take_a, a_cur + width, a_cur)
+        # Peel a left-misaligned suffix segment.
+        take_b = (a_cur < b_cur) & ((b_cur & width) != 0)
+        b_new = jnp.where(take_b, b_cur - width, b_cur)
+        seg = seg_max_below(l, b_new, jnp.full_like(b_cur, width), thresh, take_b)
+        result = jnp.maximum(result, jnp.where(take_b, seg, neg))
+        b_cur = b_new
+    return result
+
+
+def range_max_below_jax(values, los, his, thresholds) -> np.ndarray:
+    """For each query q: max(values[los[q]:his[q]]) restricted to entries
+    < thresholds[q], or -2^30 if none. values length is padded to a power
+    of two internally (with -2^30, which never qualifies)."""
+    arr = np.asarray(values, dtype=np.int32)
+    n0 = arr.shape[0]
+    levels = max(1, int(math.ceil(math.log2(max(n0, 2)))))
+    n = 1 << levels
+    padded = np.full(n, -(2**30), dtype=np.int32)
+    padded[:n0] = arr
+    lo = jnp.asarray(np.asarray(los, dtype=np.int32))
+    hi = jnp.asarray(np.asarray(his, dtype=np.int32))
+    th = jnp.asarray(np.asarray(thresholds, dtype=np.int32))
+    return np.asarray(_range_max_below_impl(jnp.asarray(padded), lo, hi, th, n, levels))
