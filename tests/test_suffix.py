@@ -125,3 +125,60 @@ def test_walk_equals_nearest_occurrence_staircase():
             rows.reverse()
             walk = [(int(l), int(o)) for l, o in table[i] if l >= MIN_MATCH_SIZE]
             assert walk == rows[:8], (i, walk, rows[:8])
+
+
+def test_interval_centric_construction_equals_walk():
+    """Round-2 device-matchfinder design validation: enumerating every
+    (position, ancestor-interval) membership, taking within-interval
+    predecessors from ONE sort by (interval, pos), and deduping each
+    position's chain reproduces the lazy walk's match table exactly.
+    Every step is a device-wide sort/scan/gather — no sequential state."""
+    from zultra_tpu.constants import LCP_SHIFT, MAX_OFFSET, POS_MASK
+    from zultra_tpu.matchfinder import build_intervals
+
+    rng = np.random.RandomState(3)
+    for _ in range(10):
+        n = int(rng.randint(30, 300))
+        data = rng.randint(0, int(rng.choice([2, 4, 16])), n).astype(np.uint8)
+
+        intervals, pos_data = build_intervals(data)
+        interval_lcp = {}
+        chains = []
+        memberships = []
+        for p in range(n):
+            ref = int(pos_data[p])
+            chain = []
+            while True:
+                idx = ref & POS_MASK
+                lcp = ref >> LCP_SHIFT
+                if lcp == 0:
+                    break
+                chain.append(idx)
+                interval_lcp[idx] = lcp
+                memberships.append((idx, p))
+                ref = int(intervals[idx])
+            chains.append(chain)
+
+        memberships.sort()
+        pred = {}
+        for k, (idx, p) in enumerate(memberships):
+            if k > 0 and memberships[k - 1][0] == idx:
+                pred[(idx, p)] = memberships[k - 1][1]
+
+        table = np.zeros((n, 8, 2), dtype=np.int32)
+        for p in range(n):
+            out = []
+            last_pred = None
+            for idx in chains[p]:
+                j = pred.get((idx, p))
+                if j is None or (last_pred is not None and j <= last_pred):
+                    continue
+                offset = p - j
+                if offset <= MAX_OFFSET and len(out) < 8:
+                    out.append((min(interval_lcp[idx], n - p), offset))
+                last_pred = j
+            for m, (l, o) in enumerate(out):
+                if l >= MIN_MATCH_SIZE:
+                    table[p, m] = (l, o)
+
+        assert np.array_equal(table, find_all_matches(data.copy(), 0, n))
