@@ -67,3 +67,17 @@ def test_cli_output_matches_reference_cli(ref_binary, lz_corpus_large, tmp_path)
         result = run_cli(["-gzip", str(src), str(my_out)])
         assert result.returncode == 0, result.stderr
         assert my_out.read_bytes() == ref_out.read_bytes(), size
+
+
+def test_cli_empty_input_clean_error(tmp_path):
+    """An empty input file exits with a clean error, not a traceback."""
+    inp = tmp_path / "empty.bin"
+    inp.write_bytes(b"")
+    out = tmp_path / "empty.gz"
+    r = subprocess.run(
+        [sys.executable, "-m", "zultra_tpu.cli", "-gzip", str(inp), str(out)],
+        capture_output=True, text=True, cwd=Path(__file__).resolve().parent.parent,
+    )
+    assert r.returncode == 100
+    assert "Traceback" not in r.stderr
+    assert "error compressing" in r.stderr

@@ -41,3 +41,21 @@ def test_compat_checksum_counter(lz_corpus):
     while strm.compress(zt.FINALIZE, max_out=4096)[0] != STREAM_END:
         pass
     assert strm.adler == zlib.adler32(data)
+
+
+def test_emitter_bug_surfaces_not_stored(monkeypatch):
+    """A real bug in the block emitter must raise, not be masked as a
+    silent stored-block fallback (only BitWriterError means 'expanded')."""
+    import pytest
+
+    import zultra_tpu.stream as stream_mod
+    from zultra_tpu.engine import SpecEngine
+
+    def broken_block_deflate(*args, **kwargs):
+        raise ValueError("synthetic emitter bug")
+
+    monkeypatch.setattr(stream_mod, "block_deflate", broken_block_deflate)
+    strm = stream_mod.Stream(0)
+    strm.engine = SpecEngine()  # spec path reaches the Python emitter
+    with pytest.raises(ValueError, match="synthetic emitter bug"):
+        strm.compress(b"hello world, hello world", stream_mod.FINALIZE)

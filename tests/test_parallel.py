@@ -151,3 +151,17 @@ def test_multihost_bench_scaling_smoke(lz_corpus):
     res = bench_scaling(data, worker_counts=(1,))
     assert res[1]["MBps"] > 0
     assert res[1]["efficiency"] == 1.0
+
+
+def test_allreduce_sum_over_devices():
+    """Named-axis psum over the full (virtual 8-CPU) device set: the
+    collective core of the multi-host histogram reduction."""
+    import jax
+
+    from zultra_tpu.parallel.multihost import allreduce_sum_over_devices
+
+    devices = jax.devices()
+    rng = np.random.RandomState(7)
+    per_dev = rng.randint(0, 1000, (len(devices), 288)).astype(np.int64)
+    total = allreduce_sum_over_devices(per_dev, devices)
+    assert np.array_equal(total, per_dev.sum(axis=0))

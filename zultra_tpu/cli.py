@@ -55,6 +55,8 @@ def _decompress(blob: bytes, flags: int, dictionary: bytes | None = None) -> byt
 
 def do_compress(in_path: str, out_path: str, flags: int, dictionary: bytes | None,
                 verbose: bool, verify: bool) -> int:
+    from .stream import StreamError
+
     start = time.perf_counter()
     stream = Stream(flags)
     if dictionary:
@@ -65,7 +67,12 @@ def do_compress(in_path: str, out_path: str, flags: int, dictionary: bytes | Non
         while True:
             chunk = fin.read(CHUNK_SIZE)
             finalize = FINALIZE if len(chunk) < CHUNK_SIZE else CONTINUE
-            fout.write(stream.compress(chunk, finalize))
+            try:
+                fout.write(stream.compress(chunk, finalize))
+            except StreamError as exc:
+                # e.g. empty input: the reference CLI errors out cleanly too.
+                print(f"error compressing '{in_path}': {exc}", file=sys.stderr)
+                return 100
             total_in += len(chunk)
             if verbose and not finalize and stream.total_out >= 1024 and total_in % (64 * CHUNK_SIZE) == 0:
                 ratio = stream.total_out * 100.0 / max(stream.total_in, 1)

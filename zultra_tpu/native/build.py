@@ -6,13 +6,31 @@ Produces zultra_tpu/native/libzultra_tpu.so.
 
 from __future__ import annotations
 
+import hashlib
 import subprocess
 import sys
 from pathlib import Path
 
 HERE = Path(__file__).resolve().parent
 SRC = HERE / "src"
-OUT = HERE / "libzultra_tpu.so"
+
+
+def _cpu_tag() -> str:
+    """Short tag identifying this host's CPU so a -march=native build cached
+    on a shared filesystem is never loaded by a different microarchitecture
+    (which could SIGILL)."""
+    try:
+        info = Path("/proc/cpuinfo").read_text()
+        lines = [l for l in info.splitlines() if l.startswith(("model name", "flags"))]
+        key = lines[0] + (lines[1] if len(lines) > 1 else "") if lines else info[:2048]
+    except OSError:
+        import platform
+
+        key = platform.processor() or platform.machine()
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
+OUT = HERE / f"libzultra_tpu-{_cpu_tag()}.so"
 
 
 def build(debug: bool = False, sanitize: str | None = None) -> Path:

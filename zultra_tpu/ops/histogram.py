@@ -47,10 +47,18 @@ def byte_histogram_pallas(data, n_symbols: int = 256, tile: int = 4096,
                           interpret: bool = False) -> np.ndarray:
     """Histogram of a uint8 array computed tile-by-tile in VMEM.
 
-    Exact for inputs up to 2^24 bytes per call (float32 accumulation of
-    0/1 counts; 16.7M is below the 2^24 float32 integer limit)."""
+    Exact for any input size: float32 one-hot accumulation is exact up to
+    2^24 counts per bucket, so larger inputs are chunked at 2^24 bytes and
+    summed in int64."""
     arr = np.asarray(data, dtype=np.uint8)
     n = arr.shape[0]
+    if n > (1 << 24):
+        total = np.zeros(n_symbols, dtype=np.int64)
+        for lo in range(0, n, 1 << 24):
+            total += byte_histogram_pallas(
+                arr[lo : lo + (1 << 24)], n_symbols, tile, interpret
+            )
+        return total
     padded = int(np.ceil(max(n, 1) / tile)) * tile
     # Pad with an out-of-range marker by widening to int32.
     wide = np.full(padded, n_symbols, dtype=np.int32)

@@ -79,14 +79,14 @@ def make_sharded_window_step(mesh: Mesh, window_bytes: int):
     dp, bytes on sp; corpus histogram replicated out."""
     levels = _num_levels(window_bytes)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     step = shard_map(
         functools.partial(_window_device_step, levels=levels),
         mesh=mesh,
         in_specs=(P("dp", "sp"),),
         out_specs=(P("dp", None), P("dp", None), P(), P("dp"), P("dp")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)
 

@@ -52,21 +52,67 @@ def compress_shard_members(blobs, flags=0, max_block_size: int = 0):
     return [compress(b, flags, max_block_size) for b in blobs]
 
 
+def allreduce_sum_over_devices(per_device_values, devices=None):
+    """Sum one vector per device across a 1-axis mesh with a named-axis
+    psum (shard_map). ``per_device_values``: array (n_devices, k); returns
+    the (k,) total. This is the collective core of corpus_histogram_psum,
+    unit-testable on the virtual CPU mesh."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = list(devices if devices is not None else jax.devices())
+    vals = np.asarray(per_device_values)
+    assert vals.shape[0] == len(devices), (vals.shape, len(devices))
+    mesh = Mesh(np.asarray(devices), ("hosts",))
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P("hosts"), out_specs=P(), check_vma=False
+    )
+    def reduce_step(x):  # x: (1, k) local shard
+        return jax.lax.psum(x, "hosts")[0]
+
+    arr = jax.device_put(jnp.asarray(vals), NamedSharding(mesh, P("hosts")))
+    return np.asarray(jax.jit(reduce_step)(arr))
+
+
 def corpus_histogram_psum(local_hist: np.ndarray):
-    """psum a per-host histogram across hosts (replicated result). Uses a
-    trivial jit+psum over the global device set when distributed;
-    passthrough for one host."""
+    """psum a per-host histogram across hosts (replicated result):
+    each process contributes its histogram on its first local device and
+    zeros on the rest, then one named-axis psum over a global 1-axis mesh
+    sums them. Passthrough for one host."""
     _, count = process_info()
     if count == 1:
         return local_hist
     import jax
+
+    local = jax.local_devices()
+    per_device = np.zeros((len(local), np.shape(local_hist)[0]), dtype=np.asarray(local_hist).dtype)
+    per_device[0] = local_hist
+    # Global mesh over every device of every process; each process supplies
+    # only its local shards (jax.make_array_from_process_local_data).
     import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    @jax.jit
-    def allred(x):
-        return jax.lax.psum(x, axis_name=None)  # pragma: no cover (multi-host)
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices, ("hosts",))
+    sharding = NamedSharding(mesh, P("hosts"))
+    global_vals = jax.make_array_from_process_local_data(sharding, per_device)
 
-    return np.asarray(allred(jnp.asarray(local_hist)))
+    import functools
+
+    from jax import shard_map
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P("hosts"), out_specs=P(), check_vma=False
+    )
+    def reduce_step(x):
+        return jax.lax.psum(x, "hosts")[0]
+
+    return np.asarray(jax.jit(reduce_step)(global_vals))
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ from collections import deque
 import numpy as np
 
 from . import frame
-from .bitwriter import BitWriter
+from .bitwriter import BitWriter, BitWriterError
 from .blocks import (
     block_deflate,
     block_split,
@@ -267,7 +267,9 @@ class Stream:
                     window, match_table, best_match, prev + in_start, block_size, is_dynamic, writer
                 )
                 expanded = (writer.get_offset() - prev_offset) > block_size
-            except Exception:
+            except BitWriterError:
+                # Only a genuine output-buffer overflow means "expanded";
+                # any other exception is a real bug and must surface.
                 expanded = True
 
             if expanded:
