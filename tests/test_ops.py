@@ -341,3 +341,26 @@ def test_range_max_below_jax(seed):
         vals = [x for x in a[lo[k] : hi[k]] if x < th[k]]
         want = max(vals) if vals else -(2**30)
         assert got[k] == want
+
+
+def test_match_table_jax_equals_walk():
+    """The loop-free device staircase matchfinder reproduces the lazy
+    interval walk's tables bit-for-bit (including history skip-warm and
+    the degenerate-run fallback)."""
+    import numpy as np
+
+    from zultra_tpu.matchfinder import find_all_matches
+    from zultra_tpu.ops.matchfinder_jax import match_table_jax
+
+    rng = np.random.RandomState(11)
+    for _ in range(6):
+        n = int(rng.randint(50, 2000))
+        alpha = int(rng.choice([2, 4, 16, 256]))
+        data = rng.randint(0, alpha, n).astype(np.uint8)
+        start = int(rng.choice([0, min(n // 3, 200)]))
+        assert np.array_equal(
+            find_all_matches(data.copy(), start, n), match_table_jax(data, start, n)
+        ), (n, alpha, start)
+    # Degenerate run → membership-budget overflow → host fallback path.
+    z = np.zeros(6000, dtype=np.uint8)
+    assert np.array_equal(find_all_matches(z.copy(), 0, 6000), match_table_jax(z, 0, 6000))

@@ -120,3 +120,36 @@ def test_memory_bound_matches_reference(ref_lib):
                     ctypes.c_size_t(size), flags, block
                 )
                 assert zt.memory_bound(size, flags, block) == ref, (size, flags, block)
+
+
+def test_parity_jax_engine(ref_lib, lz_corpus, monkeypatch):
+    """The jax engine (device staircase matchfinder feeding the native
+    planner) emits byte-identical streams. Covers the segmented path
+    (>64 KB cores), dictionaries, and the degenerate-input host fallback
+    (zeros_16k overflows the membership budget by design)."""
+    import zultra_tpu.engine as engine_mod
+
+    eng = engine_mod.JaxEngine()
+    monkeypatch.setattr(engine_mod, "_active_engine", eng)
+    assert engine_mod.get_engine() is eng
+
+    picks = ["lz_16384_32_0.6", "lz_16384_3_0.9", "zeros_16k", "source_code",
+             "random_32k"]
+    for name in picks:
+        data = lz_corpus[name]
+        ref = ref_lib.compress(data, zt.FLAG_GZIP_FRAMING)
+        mine = zt.compress(data, zt.FLAG_GZIP_FRAMING)
+        assert mine == ref, f"jax engine parity failed on {name}"
+
+    # Dictionary + zlib framing through the jax engine.
+    data = lz_corpus["lz_16384_32_0.6"]
+    d = data[:2048]
+    ref = ref_lib.compress(data, zt.FLAG_ZLIB_FRAMING, dictionary=d)
+    mine = zt.compress(data, zt.FLAG_ZLIB_FRAMING, dictionary=d)
+    assert mine == ref
+
+    # Multi-window streaming (small blocks force several windows).
+    data = lz_corpus["lz_16384_3_0.9"]
+    ref = ref_lib.compress(data, zt.FLAG_GZIP_FRAMING, max_block_size=32768)
+    mine = zt.compress(data, zt.FLAG_GZIP_FRAMING, max_block_size=32768)
+    assert mine == ref

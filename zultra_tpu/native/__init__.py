@@ -49,6 +49,11 @@ def get_lib():
         lib.zn_window_begin.restype = ctypes.c_void_p
         lib.zn_window_begin.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
 
+        lib.zn_window_begin_with_table.restype = ctypes.c_void_p
+        lib.zn_window_begin_with_table.argtypes = [
+            u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u16p,
+        ]
+
         lib.zn_window_emit.restype = ctypes.c_int64
         lib.zn_window_emit.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, u8p, ctypes.c_int64,
@@ -90,6 +95,23 @@ def optimize_matches(lit_lens, off_lens, window, table, start, end) -> np.ndarra
         start, end, best,
     )
     return best
+
+
+def window_emit(handle: int, window_is_last: bool, out: bytearray,
+                bits_data: int, bits_count: int):
+    """Emit a planned window at the current bit phase and free the job.
+    Shared by the native and jax engines."""
+    lib = get_lib()
+    bd = ctypes.c_uint32(bits_data)
+    bc = ctypes.c_int32(bits_count)
+    out_arr = np.frombuffer(out, dtype=np.uint8)
+    n = lib.zn_window_emit(
+        ctypes.c_void_p(handle), 1 if window_is_last else 0,
+        out_arr, len(out), ctypes.byref(bd), ctypes.byref(bc),
+    )
+    if n < 0:
+        raise RuntimeError("native window emission failed (output overflow)")
+    return int(n), int(bd.value), int(bc.value)
 
 
 class NativeEngine:
@@ -146,17 +168,7 @@ class NativeEngine:
                     bits_data: int, bits_count: int):
         """Emit a planned window at the current bit phase and free the job.
         Must be called in stream order."""
-        lib = get_lib()
-        bd = ctypes.c_uint32(bits_data)
-        bc = ctypes.c_int32(bits_count)
-        out_arr = np.frombuffer(out, dtype=np.uint8)
-        n = lib.zn_window_emit(
-            ctypes.c_void_p(handle), 1 if window_is_last else 0,
-            out_arr, len(out), ctypes.byref(bd), ctypes.byref(bc),
-        )
-        if n < 0:
-            raise RuntimeError("native window emission failed (output overflow)")
-        return int(n), int(bd.value), int(bc.value)
+        return window_emit(handle, window_is_last, out, bits_data, bits_count)
 
     def free_window(self, handle: int) -> None:
         get_lib().zn_window_free(ctypes.c_void_p(handle))

@@ -810,7 +810,8 @@ static void release_job(WindowJob* job) {
 }
 
 static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t in_size,
-                               int32_t n_threads_req) {
+                               int32_t n_threads_req,
+                               const uint16_t* ext_table = nullptr) {
     WindowJob* job = acquire_job();
     const int32_t n = prev + in_size;
     job->prev = prev;
@@ -819,13 +820,20 @@ static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t
     const uint8_t* window = job->window.data();
     StageTimer timer;
 
-    MatchFinder& mf = job->mf;
-    mf.build(window, n);
-    timer.mark("sa+intervals");
-
     job->table.resize((int64_t)n * kMatchesPerPos * 2);
-    build_match_table(mf, prev, n, job->table.data());
-    timer.mark("match walk");
+    if (ext_table) {
+        // Precomputed match table (e.g. the device staircase matchfinder);
+        // skip the SA + interval walk entirely.
+        std::memcpy(job->table.data(), ext_table,
+                    (size_t)n * kMatchesPerPos * 2 * sizeof(uint16_t));
+        timer.mark("ext table");
+    } else {
+        MatchFinder& mf = job->mf;
+        mf.build(window, n);
+        timer.mark("sa+intervals");
+        build_match_table(mf, prev, n, job->table.data());
+        timer.mark("match walk");
+    }
 
     job->best.assign((int64_t)n * 2, 0);
 
@@ -1000,6 +1008,14 @@ int64_t zn_compress_window(const uint8_t* window, int32_t prev, int32_t in_size,
 void* zn_window_begin(const uint8_t* window, int32_t prev, int32_t in_size,
                       int32_t n_threads) {
     return zn::window_begin(window, prev, in_size, n_threads);
+}
+
+// As zn_window_begin, but with an externally computed match table
+// ((prev+in_size) * 8 * 2 uint16 of length,offset rows) — used by the jax
+// engine to combine the device matchfinder with the native block planner.
+void* zn_window_begin_with_table(const uint8_t* window, int32_t prev, int32_t in_size,
+                                 int32_t n_threads, const uint16_t* table) {
+    return zn::window_begin(window, prev, in_size, n_threads, table);
 }
 
 int64_t zn_window_emit(void* job, int32_t window_is_last,
