@@ -364,3 +364,28 @@ def test_match_table_jax_equals_walk():
     # Degenerate run → membership-budget overflow → host fallback path.
     z = np.zeros(6000, dtype=np.uint8)
     assert np.array_equal(find_all_matches(z.copy(), 0, 6000), match_table_jax(z, 0, 6000))
+
+
+def test_wavefront_dp_equals_native():
+    """The blocked-wavefront DP (tile fixpoint + order-exact selection)
+    reproduces the reference DP bit-for-bit, including truncation and
+    offset tie-breaks, end clamping, and the ≥LEAVE_ALONE single-length
+    rule."""
+    import numpy as np
+
+    from zultra_tpu.constants import NLITERALSYMS, NOFFSETSYMS
+    from zultra_tpu.native import build_match_table, optimize_matches as native_dp
+    from zultra_tpu.ops.parse_wavefront import optimize_matches_wavefront
+
+    rng = np.random.RandomState(21)
+    for trial in range(4):
+        n = int(rng.randint(200, 6000))
+        alpha = int(rng.choice([4, 64, 256]))
+        data = rng.randint(0, alpha, n).astype(np.uint8)
+        table = build_match_table(data.copy(), 0).astype(np.int32)
+        lit = rng.randint(1, 16, NLITERALSYMS).astype(np.int32)
+        off = rng.randint(1, 16, NOFFSETSYMS).astype(np.int32)
+        start = int(rng.choice([0, 128]))
+        ref = native_dp(lit, off, data, table.astype(np.uint16), start, n).astype(np.int32)
+        got = optimize_matches_wavefront(lit, off, data, table, start, n)
+        assert np.array_equal(ref, got), (trial, n, alpha, start)

@@ -1,0 +1,258 @@
+"""Blocked-wavefront optimal-parse DP: the backward cost DP evaluated
+tile-by-tile with an exact in-tile min-plus fixpoint, instead of the
+position-by-position scan (ops/parse_jax.py) or the host loop.
+
+Semantics replicate reference src/blockdeflate.c:254-323 exactly:
+literal vs match with truncated lengths below LEAVE_ALONE_MATCH_SIZE,
+offsets' bit costs under the current code lengths, strict-improvement
+tie-breaking (literal first, matches longest-first, truncations
+descending).
+
+Structure (one jit per padded block size):
+  * tiles are processed back-to-front (sequential fori — the DP's data
+    dependence), but *within* a tile everything is parallel:
+      - the literal-chain closure is exact in one pass: cost via
+        min_j (P[j] + cost[j]) - P[i], a suffix cummin over the tile
+        (P = prefix sums of literal bit costs);
+      - truncated-length match arcs are 37 static shifted adds
+        (k = 3..39), with the per-k cheapest offset taken from a
+        prefix-min over the match list (matches are sorted by length,
+        so eligibility is a prefix);
+      - long matches (≥ LEAVE_ALONE) are 8 gathered adds.
+    The tile iterates [closure → relax] to fixpoint (while_loop): costs
+    are monotone non-increasing and the block DP is a DAG shortest path,
+    so the fixpoint equals the exact DP values.
+  * a final vectorized selection pass recomputes, from the converged
+    cost array, each position's chosen (length, offset) in the exact
+    reference scan order (strict improvements; within a match, larger
+    truncation wins ties) — values are unique, choices are order-defined.
+
+This is the TPU-shaped formulation of the hottest reference loop; see
+docs/ARCHITECTURE.md for measured throughput against the host DP on both
+backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..constants import (
+    LEAVE_ALONE_MATCH_SIZE,
+    MATCHLEN_EXTRA_BITS,
+    MATCHLEN_SYMBOL,
+    MIN_MATCH_SIZE,
+    NMATCHES_PER_OFFSET,
+    OFFSET_EXTRA_BITS,
+    OFFSET_SYMBOL,
+)
+
+INF = jnp.int32(1 << 27)
+TILE = 4096
+N_KS = LEAVE_ALONE_MATCH_SIZE - MIN_MATCH_SIZE  # 37 truncation lengths
+
+
+def _varlen_tables(lit_lens):
+    len_sym = jnp.asarray(np.asarray(MATCHLEN_SYMBOL))
+    len_extra = jnp.asarray(np.asarray(MATCHLEN_EXTRA_BITS))
+    return len_sym, len_extra, lit_lens[len_sym] + len_extra  # varlen by enc_len
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _dp_wavefront(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
+    """All arrays are padded to n_pad (a TILE multiple); ``length`` is the
+    real block length (traced scalar). Returns (cost, best_len, best_off)
+    of shape (n_pad,) — entries past length are zero."""
+    _, _, varlen_by_e = _varlen_tables(lit_lens)
+    off_sym = jnp.asarray(np.asarray(OFFSET_SYMBOL))
+    off_extra = jnp.asarray(np.asarray(OFFSET_EXTRA_BITS))
+
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    in_block = idx < length
+    remaining = jnp.maximum(length - idx, 0)
+
+    lit_cost = jnp.where(in_block, lit_lens[window.astype(jnp.int32)], 0)
+
+    # Per (position, match) statics.
+    valid = mlens >= MIN_MATCH_SIZE  # (n, 8)
+    clamped = jnp.minimum(mlens, remaining[:, None])
+    oidx_raw = moffs - 1
+    oidx = jnp.where(oidx_raw < 256, oidx_raw, 256 + ((oidx_raw - 256) >> 7))
+    oidx = jnp.clip(oidx, 0, 511)
+    osize = off_lens[off_sym[oidx]] + off_extra[oidx]  # (n, 8)
+
+    long_mask = valid & (mlens >= LEAVE_ALONE_MATCH_SIZE)
+    e_raw = clamped - MIN_MATCH_SIZE
+    e = jnp.where((e_raw < 0) | (e_raw > 255), 255, e_raw)
+    long_cost_static = jnp.where(long_mask, varlen_by_e[e] + osize, INF)
+    long_step = jnp.where(long_mask, jnp.maximum(clamped, 1), 1)  # cost[i+step]
+
+    short_mask = valid & (mlens < LEAVE_ALONE_MATCH_SIZE)
+    short_clamped = jnp.where(short_mask, clamped, 0)  # (n, 8), descending in m
+    # Running min of osize over the shorts prefix (longs contribute INF).
+    short_osize = jnp.where(short_mask, osize, INF)
+    run_min = lax.cummin(short_osize, axis=1)  # (n, 8)
+    n_long = jnp.sum(long_mask.astype(jnp.int32), axis=1)  # (n,)
+
+    ks = jnp.arange(MIN_MATCH_SIZE, LEAVE_ALONE_MATCH_SIZE, dtype=jnp.int32)  # (37,)
+    varlen_k = varlen_by_e[ks - MIN_MATCH_SIZE]  # (37,)
+
+    # Initial costs: final zeros beyond the block, INF inside it.
+    cost0 = jnp.where(in_block, INF, 0)
+    cost = jnp.concatenate([cost0, jnp.zeros(TILE + 260, jnp.int32)])
+
+    n_tiles = n_pad // TILE
+
+    def tile_body(t_rev, cost):
+        t0 = (n_tiles - 1 - t_rev) * TILE
+
+        lit_t = lax.dynamic_slice(lit_cost, (t0,), (TILE,))
+        in_t = lax.dynamic_slice(in_block, (t0,), (TILE,))
+        sc_t = lax.dynamic_slice(short_clamped, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
+        rm_t = lax.dynamic_slice(run_min, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
+        nl_t = lax.dynamic_slice(n_long, (t0,), (TILE,))
+        lcs_t = lax.dynamic_slice(long_cost_static, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
+        lstep_t = lax.dynamic_slice(long_step, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
+
+        # Per-k eligible-short count and its cheapest offset (prefix-min).
+        cnt_k = jnp.sum(sc_t[:, :, None] >= ks[None, None, :], axis=1)  # (T, 37)
+        sel = nl_t[:, None] + cnt_k - 1  # index into run_min (longs are INF there)
+        osmin_k = jnp.take_along_axis(
+            rm_t, jnp.clip(sel, 0, NMATCHES_PER_OFFSET - 1), axis=1
+        )
+        osmin_k = jnp.where(cnt_k > 0, osmin_k, INF)  # (T, 37)
+
+        P = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(lit_t)])  # (T+1,)
+        rel = jnp.arange(TILE, dtype=jnp.int32)
+
+        def fix_body(state):
+            cost, _ = state
+            halo = lax.dynamic_slice(cost, (t0,), (TILE + 260,))
+
+            # Exact literal closure: min over j ≥ i of P[j]+cost[j] - P[i].
+            pc = P + halo[: TILE + 1]
+            suffmin = lax.cummin(pc, reverse=True)
+            c_lit = suffmin[:TILE] - P[:TILE]
+
+            # Truncated matches: 37 shifted adds.
+            best_short = jnp.full((TILE,), INF)
+            for kk in range(N_KS):
+                k = MIN_MATCH_SIZE + kk
+                future = lax.dynamic_slice(halo, (k,), (TILE,))
+                best_short = jnp.minimum(
+                    best_short, varlen_k[kk] + osmin_k[:, kk] + future
+                )
+
+            # Long matches: 8 gathered adds.
+            best_long = jnp.full((TILE,), INF)
+            for m in range(NMATCHES_PER_OFFSET):
+                future = halo[jnp.clip(rel + lstep_t[:, m], 0, TILE + 259)]
+                best_long = jnp.minimum(best_long, lcs_t[:, m] + future)
+
+            new_tile = jnp.minimum(c_lit, jnp.minimum(best_short, best_long))
+            new_tile = jnp.where(in_t, new_tile, halo[:TILE])
+            changed = jnp.any(new_tile < halo[:TILE])
+            cost = lax.dynamic_update_slice(cost, new_tile, (t0,))
+            return cost, changed
+
+        def fix_cond(state):
+            _, changed = state
+            return changed
+
+        cost, _ = lax.while_loop(fix_cond, fix_body, fix_body((cost, jnp.bool_(True))))
+        return cost
+
+    cost = lax.fori_loop(0, n_tiles, tile_body, cost)
+
+    # ---- selection pass: reference scan order against converged costs ----
+    def select_tile(t_rev, best):
+        best_len_all, best_off_all = best
+        t0 = t_rev * TILE
+        halo = lax.dynamic_slice(cost, (t0,), (TILE + 260,))
+        lit_t = lax.dynamic_slice(lit_cost, (t0,), (TILE,))
+        ml_t = lax.dynamic_slice(mlens, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
+        mo_t = lax.dynamic_slice(moffs, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
+        os_t = lax.dynamic_slice(osize, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
+        cl_t = lax.dynamic_slice(clamped, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
+        lcs_t = lax.dynamic_slice(long_cost_static, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
+        lstep_t = lax.dynamic_slice(long_step, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
+        rel = jnp.arange(TILE, dtype=jnp.int32)
+
+        b_cost = lit_t + halo[1 : TILE + 1]
+        b_len = jnp.zeros(TILE, jnp.int32)
+        b_off = jnp.zeros(TILE, jnp.int32)
+
+        # future costs for every truncation: (T, 37)
+        fut_k = jnp.stack(
+            [lax.dynamic_slice(halo, (MIN_MATCH_SIZE + kk,), (TILE,)) for kk in range(N_KS)],
+            axis=1,
+        )
+
+        def eval_m(m, state):
+            b_cost, b_len, b_off = state
+            raw = ml_t[:, m]
+            valid_m = raw >= MIN_MATCH_SIZE
+            is_long = raw >= LEAVE_ALONE_MATCH_SIZE
+
+            long_c = lcs_t[:, m] + halo[jnp.clip(rel + lstep_t[:, m], 0, TILE + 259)]
+            long_l = cl_t[:, m]
+
+            kmask = ks[None, :] <= cl_t[:, m][:, None]
+            vals = jnp.where(kmask, varlen_k[None, :] + os_t[:, m][:, None] + fut_k, INF)
+            short_c = jnp.min(vals, axis=1)
+            # Tie-break: the reference scans k downward — larger k wins ties.
+            k_sel = jnp.max(
+                jnp.where(vals == short_c[:, None], ks[None, :], 0), axis=1
+            )
+
+            cand_c = jnp.where(is_long, long_c, short_c)
+            cand_l = jnp.where(is_long, long_l, k_sel)
+            better = valid_m & (b_cost > cand_c)
+            return (
+                jnp.where(better, cand_c, b_cost),
+                jnp.where(better, cand_l, b_len),
+                jnp.where(better, mo_t[:, m], b_off),
+            )
+
+        b_cost, b_len, b_off = lax.fori_loop(
+            0, NMATCHES_PER_OFFSET, eval_m, (b_cost, b_len, b_off)
+        )
+        in_t = lax.dynamic_slice(in_block, (t0,), (TILE,))
+        b_len = jnp.where(in_t, b_len, 0)
+        b_off = jnp.where(in_t, b_off, 0)
+        best_len_all = lax.dynamic_update_slice(best_len_all, b_len, (t0,))
+        best_off_all = lax.dynamic_update_slice(best_off_all, b_off, (t0,))
+        return best_len_all, best_off_all
+
+    best0 = (jnp.zeros(n_pad, jnp.int32), jnp.zeros(n_pad, jnp.int32))
+    best_len, best_off = lax.fori_loop(0, n_tiles, select_tile, best0)
+    return cost[:n_pad], best_len, best_off
+
+
+def optimize_matches_wavefront(lit_lens, off_lens, window, match_table, start, end):
+    """Drop-in DP with the same contract as native zn_optimize_matches /
+    ops.parse_jax.optimize_matches_jax: (end, 2) int32 best-match array."""
+    length = end - start
+    n_pad = -(-length // TILE) * TILE
+    win = np.zeros(n_pad, dtype=np.uint8)
+    win[:length] = np.asarray(window[start:end], dtype=np.uint8)
+    mt = np.zeros((n_pad, NMATCHES_PER_OFFSET, 2), dtype=np.int32)
+    mt[:length] = np.asarray(match_table[start:end], dtype=np.int32)
+
+    _, best_len, best_off = _dp_wavefront(
+        jnp.asarray(np.asarray(lit_lens, dtype=np.int32)),
+        jnp.asarray(np.asarray(off_lens, dtype=np.int32)),
+        jnp.asarray(win),
+        jnp.asarray(mt[:, :, 0]),
+        jnp.asarray(mt[:, :, 1]),
+        jnp.int32(length),
+        n_pad,
+    )
+    out = np.zeros((end, 2), dtype=np.int32)
+    out[start:end, 0] = np.asarray(best_len[:length])
+    out[start:end, 1] = np.asarray(best_off[:length])
+    return out
