@@ -165,3 +165,54 @@ def test_allreduce_sum_over_devices():
     per_dev = rng.randint(0, 1000, (len(devices), 288)).astype(np.int64)
     total = allreduce_sum_over_devices(per_dev, devices)
     assert np.array_equal(total, per_dev.sum(axis=0))
+
+
+def test_windows_mode_multihost_byte_identical(lz_corpus):
+    """The multi-host 'windows' single-stream mode (per-worker window
+    planning + host-0 ordered emission at the true bit phase) produces a
+    byte-identical stream at every worker count."""
+    import zlib
+
+    import zultra_tpu as zt
+    from zultra_tpu.parallel.multihost import compress_windows_multihost
+
+    data = (lz_corpus["lz_16384_32_0.6"] * 10)[: 3 * 32768 + 555]
+    expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    for workers in (1, 2, 3):
+        got = compress_windows_multihost(data, zt.FLAG_GZIP_FRAMING, 32768, workers)
+        assert got == expect, workers
+    assert zlib.decompress(expect, 15 + 16) == data
+
+
+def test_compress_sharded_mesh_byte_identical(lz_corpus):
+    """Full compression with the match stage sharded over the 8-device
+    mesh equals the single-device stream byte for byte."""
+    import zultra_tpu as zt
+    from zultra_tpu.parallel import compress_sharded, make_mesh
+
+    data = (lz_corpus["source_code"] * 4)[: 2 * 32768 + 100]
+    mesh = make_mesh(n_dp=8, n_sp=1)
+    got = compress_sharded(data, mesh, zt.FLAG_GZIP_FRAMING,
+                           max_block_size=32768, seg_core=32768)
+    expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    assert got == expect
+
+
+def test_window_plan_serialization_roundtrip(lz_corpus):
+    """A serialized window plan emits the same bytes as the original job."""
+    import numpy as np
+
+    from zultra_tpu import native
+    from zultra_tpu.stream import memory_bound
+
+    data = np.frombuffer(lz_corpus["lz_16384_3_0.9"], dtype=np.uint8)
+    lib = native.get_lib()
+    h1 = lib.zn_window_begin(np.ascontiguousarray(data), 0, len(data), 1)
+    blob = native.serialize_window(h1)
+    h2 = native.deserialize_window(blob)
+    buf1 = bytearray(memory_bound(len(data)))
+    buf2 = bytearray(memory_bound(len(data)))
+    n1, bd1, bc1 = native.window_emit(h1, True, buf1, 0, 0)
+    n2, bd2, bc2 = native.window_emit(h2, True, buf2, 0, 0)
+    assert (n1, bd1, bc1) == (n2, bd2, bc2)
+    assert buf1[:n1] == buf2[:n2]

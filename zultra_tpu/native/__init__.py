@@ -62,8 +62,37 @@ def get_lib():
 
         lib.zn_window_free.restype = None
         lib.zn_window_free.argtypes = [ctypes.c_void_p]
+
+        lib.zn_window_serialized_size.restype = ctypes.c_int64
+        lib.zn_window_serialized_size.argtypes = [ctypes.c_void_p]
+        lib.zn_window_serialize.restype = ctypes.c_int64
+        lib.zn_window_serialize.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
+        lib.zn_window_deserialize.restype = ctypes.c_void_p
+        lib.zn_window_deserialize.argtypes = [u8p, ctypes.c_int64]
         _lib = lib
     return _lib
+
+
+def serialize_window(handle: int) -> bytes:
+    """Flatten a planned window job (window bytes + chosen tokens + block
+    plans) so it can cross a process/host boundary; emit on the receiver
+    via deserialize_window + window_emit."""
+    lib = get_lib()
+    size = lib.zn_window_serialized_size(ctypes.c_void_p(handle))
+    buf = np.empty(size, dtype=np.uint8)
+    n = lib.zn_window_serialize(ctypes.c_void_p(handle), buf, size)
+    if n < 0:
+        raise RuntimeError("window serialization failed")
+    return buf.tobytes()
+
+
+def deserialize_window(blob: bytes) -> int:
+    lib = get_lib()
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    handle = lib.zn_window_deserialize(np.ascontiguousarray(arr), len(blob))
+    if not handle:
+        raise RuntimeError("window deserialization failed (bad blob)")
+    return handle
 
 
 def suffix_array(data: np.ndarray) -> np.ndarray:

@@ -1029,4 +1029,64 @@ int64_t zn_window_emit(void* job, int32_t window_is_last,
 
 void zn_window_free(void* job) { zn::release_job((zn::WindowJob*)job); }
 
+// -- plan serialization -------------------------------------------------------
+// A planned window's emit-relevant state (window bytes, chosen tokens,
+// per-block plans — all POD) as a flat blob, so multi-host "windows" mode
+// can plan windows on worker processes/hosts and emit, in stream order and
+// at the true bit phase, on host 0. Layout:
+//   u32 magic | i32 prev | i32 in_size | i32 n_plans |
+//   window bytes (prev+in_size) | best (2*(prev+in_size) u16) |
+//   plans (n_plans * sizeof(BlockPlan))
+
+static const uint32_t kPlanMagic = 0x5A504C31;  // "ZPL1"
+
+int64_t zn_window_serialized_size(void* job) {
+    zn::WindowJob* wj = (zn::WindowJob*)job;
+    const int64_t n = wj->prev + wj->in_size;
+    return (int64_t)(4 + 12) + n + n * 2 * (int64_t)sizeof(uint16_t) +
+           (int64_t)wj->plans.size() * (int64_t)sizeof(zn::BlockPlan);
+}
+
+int64_t zn_window_serialize(void* job, uint8_t* out, int64_t cap) {
+    zn::WindowJob* wj = (zn::WindowJob*)job;
+    const int64_t need = zn_window_serialized_size(job);
+    if (cap < need) return -1;
+    uint8_t* p = out;
+    std::memcpy(p, &kPlanMagic, 4); p += 4;
+    std::memcpy(p, &wj->prev, 4); p += 4;
+    std::memcpy(p, &wj->in_size, 4); p += 4;
+    const int32_t n_plans = (int32_t)wj->plans.size();
+    std::memcpy(p, &n_plans, 4); p += 4;
+    const int64_t n = wj->prev + wj->in_size;
+    std::memcpy(p, wj->window.data(), n); p += n;
+    std::memcpy(p, wj->best.data(), n * 2 * sizeof(uint16_t)); p += n * 2 * sizeof(uint16_t);
+    std::memcpy(p, wj->plans.data(), n_plans * sizeof(zn::BlockPlan));
+    return need;
+}
+
+void* zn_window_deserialize(const uint8_t* blob, int64_t size) {
+    if (size < 16) return nullptr;
+    uint32_t magic;
+    std::memcpy(&magic, blob, 4);
+    if (magic != kPlanMagic) return nullptr;
+    int32_t prev, in_size, n_plans;
+    std::memcpy(&prev, blob + 4, 4);
+    std::memcpy(&in_size, blob + 8, 4);
+    std::memcpy(&n_plans, blob + 12, 4);
+    const int64_t n = (int64_t)prev + in_size;
+    const int64_t need = 16 + n + n * 2 * (int64_t)sizeof(uint16_t) +
+                         (int64_t)n_plans * (int64_t)sizeof(zn::BlockPlan);
+    if (size < need || n_plans < 0 || n <= 0) return nullptr;
+    zn::WindowJob* wj = zn::acquire_job();
+    wj->prev = prev;
+    wj->in_size = in_size;
+    const uint8_t* p = blob + 16;
+    wj->window.assign(p, p + n); p += n;
+    wj->best.resize(n * 2);
+    std::memcpy(wj->best.data(), p, n * 2 * sizeof(uint16_t)); p += n * 2 * sizeof(uint16_t);
+    wj->plans.resize(n_plans);
+    std::memcpy(wj->plans.data(), p, n_plans * sizeof(zn::BlockPlan));
+    return wj;
+}
+
 } // extern "C"

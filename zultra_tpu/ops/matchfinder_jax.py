@@ -284,6 +284,126 @@ def _bucket(n: int) -> int:
     return size
 
 
+# ---------------------------------------------------------------------------
+# Batched / mesh-sharded segment processing: uniform buffer layout
+# [ HALO history | core | TAIL ], core always at offset ``halo`` — missing
+# history or tail (window edges) is filled with unique sentinels, which is
+# exactly the no-candidates semantics of the window edge.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n", "budget_factor", "core_off", "core_len"))
+def _core_kernel(data, n, budget_factor, core_off: int, core_len: int):
+    lens, offs, overflow = _staircase_kernel(data, n, budget_factor)
+    sl = slice(core_off, core_off + core_len)
+    return lens[sl], offs[sl], overflow
+
+
+def build_segments(data: np.ndarray, spans, seg_core: int):
+    """Cut the corpus into per-window segments with the uniform layout.
+
+    ``spans``: the stream's window byte ranges [(lo, hi), ...] — matches
+    may reach 32 KB back INTO the previous window (the history slide) but
+    never beyond the current window's start-of-buffer, and lcps clamp at
+    the window end, exactly like the streaming core.
+
+    Returns (segbufs (S, L) int32, metas) with L = HALO + seg_core + TAIL
+    and metas[s] = (window_index, core_lo_abs, core_len).
+    """
+    L = HALO + seg_core + TAIL
+    bufs = []
+    metas = []
+    n_total = data.shape[0]
+    for w, (w_lo, w_hi) in enumerate(spans):
+        prev = min(HALO, w_lo)
+        buf_start_abs = w_lo - prev  # window buffer start in corpus coords
+        core = w_lo
+        while core < w_hi:
+            core_hi = min(core + seg_core, w_hi)
+            lo = max(core - HALO, buf_start_abs)
+            hi = min(core_hi + TAIL, w_hi)  # lcps clamp at the window end
+            buf = np.empty(L, dtype=np.int32)
+            # Unique sentinels everywhere, real bytes in the middle.
+            buf[:] = 256 + np.arange(L, dtype=np.int32)
+            dst = HALO - (core - lo)
+            buf[dst : dst + (hi - lo)] = data[lo:hi]
+            bufs.append(buf)
+            metas.append((w, core, core_hi - core))
+            core = core_hi
+    return np.stack(bufs), metas
+
+
+def match_tables_for_spans(
+    data: np.ndarray,
+    spans,
+    seg_core: int = SEG_CORE,
+    budget_factor: int = 16,
+    mesh=None,
+) -> list[np.ndarray]:
+    """Per-window match tables for the stream's window spans, computed as
+    one batch of segment kernels — locally vmapped, or sharded over a
+    1-axis device mesh ('dp') with shard_map when ``mesh`` is given.
+    Overflowing segments (degenerate runs) fall back to the host walk.
+    Returns one (prev+in_size, 8, 2) int32 table per window."""
+    import jax
+    import jax.numpy as jnp
+
+    data = np.asarray(data, dtype=np.uint8)
+    segbufs, metas = build_segments(data, spans, seg_core)
+    S, L = segbufs.shape
+
+    def one(buf):
+        return _core_kernel(buf, L, budget_factor, HALO, seg_core)
+
+    if mesh is None:
+        lens, offs, over = jax.vmap(one)(jnp.asarray(segbufs))
+    else:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dp = mesh.shape["dp"]
+        S_pad = -(-S // n_dp) * n_dp
+        if S_pad > S:
+            pad = np.broadcast_to(segbufs[-1], (S_pad - S, L))
+            segbufs = np.concatenate([segbufs, pad])
+        step = shard_map(
+            jax.vmap(one), mesh=mesh, in_specs=P("dp"),
+            out_specs=P("dp"), check_vma=False,
+        )
+        arr = jax.device_put(
+            jnp.asarray(segbufs), NamedSharding(mesh, P("dp"))
+        )
+        lens, offs, over = jax.jit(step)(arr)
+    lens = np.asarray(lens[:S])
+    offs = np.asarray(offs[:S])
+    over = np.asarray(over[:S])
+
+    tables = []
+    for w, (w_lo, w_hi) in enumerate(spans):
+        prev = min(HALO, w_lo)
+        tables.append(
+            np.zeros((prev + (w_hi - w_lo), NMATCHES_PER_OFFSET, 2), dtype=np.int32)
+        )
+    for s, (w, core_abs, core_len) in enumerate(metas):
+        w_lo, w_hi = spans[w]
+        prev = min(HALO, w_lo)
+        rel = core_abs - w_lo + prev  # row index inside the window buffer
+        if over[s]:
+            # Degenerate segment: host walk over the same clipped range.
+            from ..matchfinder import find_all_matches
+
+            lo = max(core_abs - HALO, w_lo - prev)
+            hi = min(core_abs + core_len + TAIL, w_hi)
+            sub = find_all_matches(
+                data[lo:hi], core_abs - lo, hi - lo
+            )
+            tables[w][rel : rel + core_len] = sub[core_abs - lo : core_abs - lo + core_len]
+        else:
+            tables[w][rel : rel + core_len, :, 0] = lens[s, :core_len]
+            tables[w][rel : rel + core_len, :, 1] = offs[s, :core_len]
+    return tables
+
+
 def _match_rows_for_range(
     window: np.ndarray, lo: int, core_lo: int, core_hi: int, hi: int,
     ladder,

@@ -120,6 +120,65 @@ def sharded_corpus_stats(data: bytes, mesh: Mesh, window_bytes: int = 1 << 16):
 
 
 # ---------------------------------------------------------------------------
+# Mesh-sharded single-stream compression
+# ---------------------------------------------------------------------------
+
+
+def compress_sharded(
+    data: bytes,
+    mesh: Mesh,
+    flags: int = 0,
+    max_block_size: int = 0,
+    seg_core: int = 65536,
+    budget_factor: int = 16,
+) -> bytes:
+    """Compress one stream with the match stage sharded across the mesh:
+    the corpus is cut into the stream's windows, each window into
+    32 KB-halo segments, and ALL segments run the device staircase
+    matchfinder data-parallel over the 'dp' axis (shard_map). Window
+    planning (block split + DP) and ordered bit emission then run on the
+    host. Byte-identical to the single-device stream — asserted by
+    __graft_entry__.dryrun_multichip and tests/test_parallel.py."""
+    import ctypes
+
+    from .. import frame, native
+    from ..ops.matchfinder_jax import match_tables_for_spans
+    from ..stream import clamp_block_size, memory_bound
+    from .multihost import window_spans
+
+    max_block_size = clamp_block_size(max_block_size)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    spans = window_spans(len(data), max_block_size)
+
+    tables = match_tables_for_spans(
+        arr, spans, seg_core=seg_core, budget_factor=budget_factor, mesh=mesh
+    )
+
+    lib = native.get_lib()
+    out = bytearray()
+    out += frame.encode_header(flags, None)
+    checksum = frame.update_checksum(frame.init_checksum(flags), arr, flags)
+
+    buf = bytearray(memory_bound(max_block_size, flags, max_block_size))
+    bits_data, bits_count = 0, 0
+    for w, (w_lo, w_hi) in enumerate(spans):
+        prev = min(32768, w_lo)
+        window = np.ascontiguousarray(arr[w_lo - prev : w_hi])
+        handle = lib.zn_window_begin_with_table(
+            window, prev, w_hi - w_lo, 0,
+            np.ascontiguousarray(tables[w].astype(np.uint16)),
+        )
+        if not handle:
+            raise RuntimeError("native window planning failed")
+        n, bits_data, bits_count = native.window_emit(
+            handle, w + 1 == len(spans), buf, bits_data, bits_count
+        )
+        out += buf[:n]
+    out += frame.encode_footer(flags, checksum, len(data))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Data-parallel corpus compression (host-orchestrated)
 # ---------------------------------------------------------------------------
 

@@ -116,6 +116,127 @@ def corpus_histogram_psum(local_hist: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# "windows" mode: ONE deflate stream planned across hosts
+# ---------------------------------------------------------------------------
+#
+# Window planning (suffix array, match finding, block split, DP — ~98% of
+# the work) is bit-phase independent, so each worker plans a contiguous
+# span of max-block-size windows using only its span plus the previous
+# 32 KB (available by construction from the input cut). Plans serialize
+# to flat blobs (native zn_window_serialize); host 0 deserializes them IN
+# STREAM ORDER and emits at the true running bit phase — the same
+# begin/emit split the in-process thread pipeline uses, stretched over a
+# process/DCN boundary. Output is byte-identical to the single-process
+# stream. Stored-block fallbacks stay correct because emission (where
+# byte alignment happens) is centralized.
+
+
+def window_spans(total: int, max_block_size: int):
+    """The stream's window boundaries: [lo, hi) byte ranges, one per
+    window, exactly as the streaming core cuts them."""
+    spans = []
+    pos = 0
+    while pos < total:
+        in_size = min(max_block_size, total - pos)
+        spans.append((pos, pos + in_size))
+        pos += in_size
+    return spans
+
+
+def plan_window_span(data, window_spans_slice, n_threads: int = 1):
+    """Plan the given windows of ``data`` (full corpus bytes or a
+    memoryview); returns serialized plan blobs, one per window. Runs on
+    any worker — only data[lo-32768 : hi] is touched per window."""
+    import ctypes
+
+    import numpy as np
+
+    from .. import native
+    from ..constants import HISTORY_SIZE
+
+    lib = native.get_lib()
+    blobs = []
+    for lo, hi in window_spans_slice:
+        prev = min(HISTORY_SIZE, lo)
+        window = np.frombuffer(data[lo - prev : hi], dtype=np.uint8)
+        handle = lib.zn_window_begin(
+            np.ascontiguousarray(window), prev, hi - lo, n_threads
+        )
+        if not handle:
+            raise RuntimeError("native window planning failed")
+        try:
+            blobs.append(native.serialize_window(handle))
+        finally:
+            lib.zn_window_free(ctypes.c_void_p(handle))
+    return blobs
+
+
+def stitch_window_plans(blobs, flags, data, max_block_size: int) -> bytes:
+    """Host-0 step: emit planned windows in stream order at the true bit
+    phase, wrap in container framing. ``data`` is needed only for the
+    checksum (an associative combine of per-span partials on a real pod —
+    ops.checksum; here the corpus is at hand)."""
+    from .. import frame, native
+    from ..stream import memory_bound
+
+    out = bytearray()
+    out += frame.encode_header(flags, None)
+    checksum = frame.init_checksum(flags)
+    checksum = frame.update_checksum(checksum, np.frombuffer(data, dtype=np.uint8), flags)
+
+    buf = bytearray(memory_bound(max_block_size, flags, max_block_size))
+    bits_data, bits_count = 0, 0
+    for i, blob in enumerate(blobs):
+        handle = native.deserialize_window(blob)
+        n, bits_data, bits_count = native.window_emit(
+            handle, i + 1 == len(blobs), buf, bits_data, bits_count
+        )
+        out += buf[:n]
+    out += frame.encode_footer(flags, checksum, len(data))
+    return bytes(out)
+
+
+def _plan_span_worker(args):
+    path, spans, n_threads = args
+    with open(path, "rb") as f:
+        data = f.read()
+    return plan_window_span(data, spans, n_threads)
+
+
+def compress_windows_multihost(
+    data: bytes, flags: int = 0, max_block_size: int = 0, workers: int = 2
+) -> bytes:
+    """Single-stream compression with window planning fanned out across
+    worker processes (the pod equivalent: one span per host over DCN,
+    blobs gathered to host 0). Byte-identical to the one-process stream."""
+    import multiprocessing as mp
+    import tempfile
+
+    from ..stream import clamp_block_size
+
+    max_block_size = clamp_block_size(max_block_size)
+    spans = window_spans(len(data), max_block_size)
+    if workers <= 1 or len(spans) == 1:
+        blobs = plan_window_span(data, spans)
+        return stitch_window_plans(blobs, flags, data, max_block_size)
+
+    # Contiguous, balanced window ranges per worker.
+    per = -(-len(spans) // workers)
+    chunks = [spans[i : i + per] for i in range(0, len(spans), per)]
+
+    with tempfile.NamedTemporaryFile(suffix=".zultra_corpus") as f:
+        f.write(data)
+        f.flush()
+        ctx = mp.get_context("fork")
+        with ctx.Pool(len(chunks)) as pool:
+            blob_lists = pool.map(
+                _plan_span_worker, [(f.name, c, 1) for c in chunks]
+            )
+    blobs = [b for lst in blob_lists for b in lst]
+    return stitch_window_plans(blobs, flags, data, max_block_size)
+
+
+# ---------------------------------------------------------------------------
 # Scaling-efficiency measurement (process-parallel shards on one machine;
 # on a pod this is one process per host instead)
 # ---------------------------------------------------------------------------
