@@ -183,7 +183,13 @@ def _staircase_kernel(data: jnp.ndarray, n: int, budget_factor: int):
     for padding (each sentinel occurs once, so padded suffixes share no
     prefix with anything). Returns (lens (n,8), offs (n,8), overflow)."""
     levels = _num_levels(n)
-    sa, ranks = _doubling_rounds(data, n, levels)
+    # Store only the rank tables for widths 1..256: lcps are clamped at
+    # MAX_MATCH_SIZE (258 ≤ 256+128+...+1), so the descent in
+    # _adjacent_lcp never needs a wider gram table, and halving the rows
+    # halves its gather count (the dominant primitive cost — see
+    # docs/ARCHITECTURE.md §5). Rounds past the stored ones early-exit
+    # once ranks are distinct.
+    sa, ranks = _doubling_rounds(data, n, levels, store_levels=8)
     pos = sa  # pos[r] = position of rank r
 
     # L_arr[r] = clamped lcp between ranks r-1, r; L_arr[0] = L_arr[n] = 0.

@@ -28,43 +28,78 @@ def _num_levels(n: int) -> int:
     return max(1, int(math.ceil(math.log2(max(n, 2)))))
 
 
-def _doubling_rounds(data: jnp.ndarray, n: int, levels: int):
-    """Run prefix doubling; returns (final rank, rank table per level).
+def _doubling_rounds(data: jnp.ndarray, n: int, levels: int,
+                     store_levels: int | None = None):
+    """Run prefix doubling; returns (sa, rank table per stored level).
 
-    rank_levels[l] = ranks after sorting by 2^l-grams  (l = 0 .. levels).
+    ranks[l] = ranks after sorting by 2^l-grams (l = 0 .. store_levels).
+    Positions i, j share an equal 2^l-gram iff ranks[l][i] == ranks[l][j];
+    this stays true for l past ``store_levels`` using the LAST stored row,
+    because once suffix ranks are fully distinct no two positions share a
+    longer gram either (clients that clamp LCPs — the staircase match
+    finder clamps at 258 — pass store_levels=8 and save half the table).
+
+    Measured on the v5e (docs/ARCHITECTURE.md): lax.sort moves ~900 M
+    elements/s while gather does ~94 M/s and scatter ~229 M/s, so every
+    round is built from sorts and elementwise ops only:
+      * one 3-array two-key sort (rank, rank2, idx) yields the sorted key
+        columns AND the suffix order in one op (no post-sort gathers);
+      * re-ranking returns to position order with a second sort keyed by
+        the suffix order (a permutation sort replacing the scatter).
+    Rounds past ``store_levels`` run under a while_loop that exits as soon
+    as every rank is distinct (text converges around 2^6..2^8-grams, long
+    before the ceil(log2 n) worst case); the skipped rounds are identities.
     """
+    if store_levels is None or store_levels > levels:
+        store_levels = levels
     idx = jnp.arange(n, dtype=jnp.int32)
+    neg = jnp.full((n,), jnp.int32(-1))
 
-    # Level 0: rank by single byte.
-    rank = data.astype(jnp.int32)
-    sa = jnp.argsort(rank, stable=True).astype(jnp.int32)
-    sorted_r = rank[sa]
-    diff = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), (sorted_r[1:] != sorted_r[:-1]).astype(jnp.int32)]
-    )
-    rank = jnp.zeros(n, jnp.int32).at[sa].set(jnp.cumsum(diff))
-
-    ranks = [rank]
-    for level in range(levels):
-        k = 1 << level
-        # rank of suffix i+k, or -1 past the end.
-        rank2 = jnp.where(idx + k < n, jnp.roll(rank, -k), -1)
-        # Lexicographic (rank, rank2) sort as two stable passes — int32-safe
-        # for any window size (a composite int key would overflow without
-        # x64 once n exceeds ~46K).
-        order2 = jnp.argsort(rank2, stable=True).astype(jnp.int32)
-        sa = order2[jnp.argsort(rank[order2], stable=True)].astype(jnp.int32)
-        k1 = rank[sa]
-        k2 = rank2[sa]
+    def rerank(k1, k2, sa):
+        """New ranks (position order) + all-distinct flag from sorted keys."""
         diff = jnp.concatenate(
             [
                 jnp.zeros(1, jnp.int32),
                 ((k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])).astype(jnp.int32),
             ]
         )
-        rank = jnp.zeros(n, jnp.int32).at[sa].set(jnp.cumsum(diff))
-        ranks.append(rank)
-    return sa, jnp.stack(ranks)
+        r_sorted = jnp.cumsum(diff)
+        distinct = r_sorted[-1] == n - 1
+        _, rank = lax.sort((sa, r_sorted), num_keys=1)
+        return rank, distinct
+
+    # Level 0: rank by single symbol.
+    key0 = data.astype(jnp.int32)
+    k1, sa = lax.sort((key0, idx), num_keys=1)
+    rank, distinct = rerank(k1, jnp.zeros_like(k1), sa)
+
+    rows = [rank]
+    for level in range(min(levels, store_levels)):
+        k = 1 << level
+        rank2 = jnp.concatenate([rank[k:], neg[:k]])
+        k1, k2, sa = lax.sort((rank, rank2, idx), num_keys=2)
+        rank, distinct = rerank(k1, k2, sa)
+        rows.append(rank)
+
+    if levels > store_levels:
+        rank_pad_tail = neg  # -1 past the end, fetched via a padded slice
+
+        def w_cond(state):
+            _, _, k, done = state
+            return (~done) & (k < (1 << levels))
+
+        def w_body(state):
+            sa_c, rank, k, _ = state
+            padded = jnp.concatenate([rank, rank_pad_tail])
+            rank2 = lax.dynamic_slice(padded, (k,), (n,))
+            k1, k2, sa_c = lax.sort((rank, rank2, idx), num_keys=2)
+            rank, distinct = rerank(k1, k2, sa_c)
+            return sa_c, rank, k * 2, distinct
+
+        sa, rank, _, _ = lax.while_loop(
+            w_cond, w_body, (sa, rank, jnp.int32(1 << store_levels), distinct)
+        )
+    return sa, jnp.stack(rows)
 
 
 def _suffix_array_impl(data: jnp.ndarray, levels: int):
