@@ -14,6 +14,8 @@ bytes are fed to the reference binary for the parity check.
 Env knobs:
   BENCH_BYTES   corpus size (default 32 MiB)
   BENCH_PARITY  "0" to skip the reference parity run (default on)
+  BENCH_JAX     "0" to skip the jax-engine slice (default on)
+  BENCH_SCALING "0" to skip the windows-mode scaling probe (default on)
 """
 
 from __future__ import annotations
@@ -122,6 +124,64 @@ def main() -> int:
             ref_blob = outp.read_bytes()
             parity_delta = 0 if ref_blob == blob else abs(len(ref_blob) - len(blob)) or 1
 
+    # Windows-mode scaling first: it forks worker processes, which must
+    # happen before this process initializes the TPU client (the jax
+    # slice below does).
+    scaling = {}
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        try:
+            from zultra_tpu.parallel import multihost
+
+            sl = corpus[: 8 << 20]
+            single = None
+            for w in (1, 2):
+                t0 = time.perf_counter()
+                sblob = multihost.compress_windows_multihost(
+                    sl, zt.FLAG_GZIP_FRAMING, workers=w
+                )
+                dt = time.perf_counter() - t0
+                if single is None:
+                    single = (dt, sblob)
+                scaling[f"windows_mode_{w}w_MBps"] = round(len(sl) / 1e6 / dt, 3)
+                assert sblob == single[1], "windows mode diverged across workers"
+            scaling["windows_mode_2w_efficiency"] = round(
+                single[0] / (2 * dt), 3
+            )
+        except Exception as exc:  # pragma: no cover
+            scaling = {"scaling_error": str(exc)[:120]}
+
+    # The jax engine (device staircase matchfinder feeding the native
+    # planner) on a slice, byte-compared against the headline stream's
+    # prefix recompressed — slow on this tunneled chip (the written
+    # account is in docs/ARCHITECTURE.md §6), reported for honesty.
+    jax_metrics = {}
+    if os.environ.get("BENCH_JAX", "1") != "0":
+        try:
+            from zultra_tpu.engine import JaxEngine
+
+            jslice = corpus[: 2 << 20]
+            eng = JaxEngine()
+            stream_cls = zt.Stream
+            prev_engine = zt.get_engine()
+
+            def run_jax():
+                s = stream_cls(zt.FLAG_GZIP_FRAMING)
+                s.engine = eng
+                return s.compress(jslice, 1)
+
+            run_jax()  # compile/warm
+            t0 = time.perf_counter()
+            jblob = run_jax()
+            jax_elapsed = time.perf_counter() - t0
+            jax_metrics = {
+                "jax_engine_slice_MBps": round(len(jslice) / 1e6 / jax_elapsed, 3),
+                "jax_engine_parity": 0 if jblob == zt.compress(
+                    jslice, zt.FLAG_GZIP_FRAMING) else 1,
+            }
+            assert prev_engine is zt.get_engine()
+        except Exception as exc:  # pragma: no cover - report, don't fail
+            jax_metrics = {"jax_engine_error": str(exc)[:120]}
+
     result = {
         "metric": "text_corpus_gzip_compress_throughput_bitexact",
         "value": round(mbps, 3),
@@ -134,6 +194,8 @@ def main() -> int:
         "reference_same_host_MBps": round(ref_mbps, 3) if ref_mbps else None,
         "speedup_vs_reference_same_host": round(mbps / ref_mbps, 3) if ref_mbps else None,
         "engine": zt.get_engine().name,
+        **jax_metrics,
+        **scaling,
     }
     print(json.dumps(result))
     return 0 if parity_delta in (0, None) else 1

@@ -42,7 +42,7 @@ def main():
     )
     from zultra_tpu.ops.matchfinder_jax import (
         _adjacent_lcp, _build_sparse_min, _find_left, _find_right,
-        _make_range_min, _prev_in_segment,
+        _prev_in_segment,
     )
     from zultra_tpu.ops.suffix_jax import _doubling_rounds, _num_levels
 
@@ -69,16 +69,18 @@ def main():
             )
             m = n + 1
             lev_L = max(1, int(math.ceil(math.log2(m))))
-            st = _build_sparse_min(L_arr, lev_L)
+            pad = 1 << lev_L
+            padded = jnp.concatenate(
+                [jnp.zeros(pad, jnp.int32), L_arr, jnp.zeros(pad, jnp.int32)]
+            )
+            st = _build_sparse_min(padded, lev_L)
             if stage == "sparse":
                 return st.sum() + sa.sum()
-            range_min = _make_range_min(st, m)
-            steps = lev_L + 1
             t_idx = jnp.arange(n, dtype=jnp.int32)
-            v_t = L_arr[t_idx]
+            v_t = L_arr[:n]
             thresh = jnp.maximum(v_t, 1)
-            a_t = _find_left(range_min, steps, jnp.maximum(t_idx - 1, 0), thresh)
-            b_t = _find_right(range_min, steps, m, t_idx + 1, thresh)
+            a_t = _find_left(st, lev_L, pad, jnp.maximum(t_idx - 1, 0), thresh)
+            b_t = _find_right(st, lev_L, pad, t_idx + 1, thresh)
             if stage == "bounds":
                 return a_t.sum() + b_t.sum() + sa.sum()
             valid_t = v_t > 0
@@ -95,14 +97,18 @@ def main():
             overflow = total > cap
             if stage == "nodes":
                 return cum.sum() + overflow.astype(jnp.int32) + sa.sum()
+            arange_cap = jnp.arange(cap, dtype=jnp.int32)
             starts = jnp.where(is_node & (sizes > 0) & ~overflow, cum, cap)
             node_at = jnp.full(cap, jnp.int32(-1)).at[starts].max(t_idx, mode="drop")
             mem_node = lax.cummax(node_at)
-            in_use = (jnp.arange(cap, dtype=jnp.int32) < total) & (mem_node >= 0) & ~overflow
+            in_use = (arange_cap < total) & (mem_node >= 0) & ~overflow
             safe_node = jnp.maximum(mem_node, 0)
-            rank_e = a_t[safe_node] + (jnp.arange(cap, dtype=jnp.int32) - cum[safe_node])
+            run_start = lax.cummax(jnp.where(node_at >= 0, arange_cap, 0))
+            pav = a_t * 512 + v_t
+            pav_e = pav[safe_node]
+            rank_e = (pav_e >> 9) + (arange_cap - run_start)
             pos_e = sa[jnp.clip(rank_e, 0, n - 1)]
-            val_e = v_t[safe_node]
+            val_e = pav_e & 511
             if stage == "members":
                 return pos_e.sum() + val_e.sum()
             key1 = jnp.where(in_use, mem_node, jnp.int32(2**30))
@@ -122,11 +128,11 @@ def main():
             emit_m = (pred2 > last) & (pred2 >= 0) & (pv2 < 2**30)
             offs = p2 - pred2
             append = emit_m & (offs <= MAX_OFFSET)
-            idx2 = jnp.arange(cap, dtype=jnp.int32)
             seg_first = jnp.concatenate([jnp.ones(1, jnp.bool_), p2[1:] != p2[:-1]])
-            start_idx = lax.cummax(jnp.where(seg_first, idx2, jnp.int32(0)))
-            csum = jnp.cumsum(append.astype(jnp.int32))
-            inc_count = csum - csum[start_idx] + append[start_idx].astype(jnp.int32)
+            app_i = append.astype(jnp.int32)
+            csum = jnp.cumsum(app_i)
+            base = lax.cummax(jnp.where(seg_first, csum - app_i, 0))
+            inc_count = csum - base
             row = inc_count - 1
             write = append & (row < NMATCHES_PER_OFFSET)
             flat = jnp.where(write, p2 * NMATCHES_PER_OFFSET + row, n * NMATCHES_PER_OFFSET)

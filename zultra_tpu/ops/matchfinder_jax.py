@@ -39,8 +39,15 @@ Windows are cut into segments with a 32 KB history halo and a 258-byte
 tail. This is exact, not approximate: a reported row (l, o) with o ≤ 32768
 depends only on candidates within (p-32768, p) — farther candidates never
 shadow nearer ones in the staircase — and clamped lcps only need 258 bytes
-of lookahead. Segmenting bounds every device sort to ~100K elements and
-makes windows batchable (vmap over segments).
+of lookahead. Segments fill a 2^17 buffer (halo + ~96 KiB core + tail) and
+batch through chunked vmaps of one compiled kernel shape.
+
+Primitive economics on the v5e (scripts/measure_latency2.py): lax.sort
+~900 Melem/s, scatter ~229, gather ~94, ~25-29 ms dispatch+fetch round
+trip — so the kernel is built to minimize GATHERS above all: the doubling
+SA uses only sorts, interval bounds descend a zero-padded sparse-min
+table at one row-gather per level, membership expansion packs its node
+payload into a single gather, and all segmented counts are scans.
 """
 
 from __future__ import annotations
@@ -64,13 +71,18 @@ from .suffix_jax import _doubling_rounds, _num_levels
 
 HALO = MAX_OFFSET  # 32768 history bytes make segment staircases exact
 TAIL = MAX_MATCH_SIZE  # 258 lookahead bytes make clamped lcps exact
-SEG_CORE = 65536  # positions resolved per segment
+# Positions resolved per segment, sized so HALO + core + TAIL fills the
+# 2^17 kernel bucket exactly: the halo is pure overhead, so a fuller
+# bucket is a ~1.5x throughput win over a 64 KiB core at equal kernel cost.
+SEG_CORE = (1 << 17) - HALO - TAIL
 
-# Membership budget per position: the kernel is retried up the ladder on
-# overflow (measured density: text ≈ 5-9, LZ-heavy fuzz data ≈ 34-49,
-# all-zeros 254 → host fallback). Override: ZULTRA_JAX_MF_BUDGET="16,64".
+# Membership budget per position (measured density: text ≈ 5-9, LZ-heavy
+# fuzz data ≈ 34-49, all-zeros 254). Segments that overflow the first
+# budget fall back to the host walk — degenerate runs are exactly the
+# inputs the sequential walk handles in microseconds, so retrying at a
+# larger budget buys nothing. Override: ZULTRA_JAX_MF_BUDGET="24".
 BUDGET_LADDER = tuple(
-    int(x) for x in os.environ.get("ZULTRA_JAX_MF_BUDGET", "16,64").split(",")
+    int(x) for x in os.environ.get("ZULTRA_JAX_MF_BUDGET", "16").split(",")
 )
 
 
@@ -110,60 +122,36 @@ def _build_sparse_min(a: jnp.ndarray, levels: int) -> jnp.ndarray:
     return jnp.stack(tables)
 
 
-def _make_range_min(st: jnp.ndarray, m: int):
-    logs = np.zeros(m + 1, dtype=np.int32)
-    for i in range(2, m + 1):
-        logs[i] = logs[i // 2] + 1
-    log_table = jnp.asarray(logs)
+def _find_left(st: jnp.ndarray, lev: int, pad: int, x, t):
+    """Largest a ≤ x with L[a] < t (exists: L[0] = 0 < t).
 
-    def range_min(lo, hi):
-        """min over [lo, hi); callers guarantee hi > lo (masked otherwise)."""
-        lo_c = jnp.clip(lo, 0, m - 1)
-        hi_c = jnp.clip(hi, lo_c + 1, m)
-        l = log_table[hi_c - lo_c]
-        left = st[l, lo_c]
-        right = st[l, hi_c - (jnp.int32(1) << l)]
-        return jnp.minimum(left, right)
-
-    return range_min
-
-
-def _find_left(range_min, steps: int, x, t):
-    """Largest a ≤ x with L[a] < t (exists: L[0] = 0 < t)."""
-    lo = jnp.zeros_like(x)
-    hi = x + 1
-
-    def step(_, state):
-        lo, hi = state
-        active = (hi - lo) > 1
-        mid = (lo + hi) >> 1
-        right_min = range_min(mid, hi)
-        go_right = right_min < t
-        new_lo = jnp.where(go_right, mid, lo)
-        new_hi = jnp.where(go_right, hi, mid)
-        return (jnp.where(active, new_lo, lo), jnp.where(active, new_hi, hi))
-
-    lo, hi = lax.fori_loop(0, steps, step, (lo, hi))
-    return lo
+    Single top-down descent of the zero-padded sparse-min table ``st``
+    built over [zeros(pad) | L | zeros(pad)] with pad = 2^lev ≥ len(L):
+    the window [x+1-2^lev, x] always covers position 0, the left padding
+    makes its start index non-negative without per-element clipping, and
+    each level needs ONE row gather (gathers are the costliest primitive
+    on this chip — docs/ARCHITECTURE.md §5). Rightmost preference: take
+    the right half whenever it still contains a value < t; real positions
+    lie right of the padding, so the result is never a pad index."""
+    cur = x + 1  # padded coord of the window start: pad + x + 1 - 2^lev
+    for l in range(lev - 1, -1, -1):
+        right_min = st[l][cur + (1 << l)]
+        cur = jnp.where(right_min < t, cur + (1 << l), cur)
+    return cur - pad
 
 
-def _find_right(range_min, steps: int, m: int, x, t):
-    """Smallest b ≥ x with L[b] < t (exists: sentinel L[m-1] = 0)."""
-    lo = x
-    hi = jnp.full_like(x, m)
+def _find_right(st: jnp.ndarray, lev: int, pad: int, x, t):
+    """Smallest b ≥ x with L[b] < t (exists: sentinel L[m-1] = 0).
 
-    def step(_, state):
-        lo, hi = state
-        active = (hi - lo) > 1
-        mid = (lo + hi) >> 1
-        left_min = range_min(lo, mid)
-        go_left = left_min < t
-        new_hi = jnp.where(go_left, mid, hi)
-        new_lo = jnp.where(go_left, lo, mid)
-        return (jnp.where(active, new_lo, lo), jnp.where(active, new_hi, hi))
-
-    lo, hi = lax.fori_loop(0, steps, step, (lo, hi))
-    return lo
+    Mirror of _find_left over the same padded table: window [x, x+2^lev),
+    leftmost preference, right padding keeps indices in bounds; the real
+    sentinel L[m-1] = 0 lies left of the padding, so the result is never
+    a pad index."""
+    cur = pad + x
+    for l in range(lev - 1, -1, -1):
+        left_min = st[l][cur]
+        cur = jnp.where(left_min < t, cur, cur + (1 << l))
+    return cur - pad
 
 
 def _prev_in_segment(values: jnp.ndarray, seg_id: jnp.ndarray) -> jnp.ndarray:
@@ -200,17 +188,19 @@ def _staircase_kernel(data: jnp.ndarray, n: int, budget_factor: int):
     )  # length n+1, sentinel at n
     m = n + 1
     lev_L = max(1, int(math.ceil(math.log2(m))))
-    st = _build_sparse_min(L_arr, lev_L)
-    range_min = _make_range_min(st, m)
-    steps = lev_L + 1
+    pad = 1 << lev_L
+    padded = jnp.concatenate(
+        [jnp.zeros(pad, jnp.int32), L_arr, jnp.zeros(pad, jnp.int32)]
+    )
+    st = _build_sparse_min(padded, lev_L)
 
     # --- interval nodes: one candidate per boundary t with L[t] ≥ 3 ------
     t_idx = jnp.arange(n, dtype=jnp.int32)  # boundaries 0..n-1 (0 invalid)
-    v_t = L_arr[t_idx]
+    v_t = L_arr[:n]
     valid_t = v_t > 0
     thresh = jnp.maximum(v_t, 1)
-    a_t = _find_left(range_min, steps, jnp.maximum(t_idx - 1, 0), thresh)
-    b_t = _find_right(range_min, steps, m, t_idx + 1, thresh)
+    a_t = _find_left(st, lev_L, pad, jnp.maximum(t_idx - 1, 0), thresh)
+    b_t = _find_right(st, lev_L, pad, t_idx + 1, thresh)
 
     # Dedupe boundaries naming the same interval (equal-L runs): sort by
     # (a*512+v) and keep first occurrences, then restore boundary order so
@@ -229,14 +219,22 @@ def _staircase_kernel(data: jnp.ndarray, n: int, budget_factor: int):
     overflow = total > cap
 
     # --- expand memberships: scatter node ids at starts, forward-fill ----
+    # Two gathers total (packed node payload + SA), everything else scans:
+    # gathers dominate this stage's cost otherwise (docs/ARCHITECTURE.md §5).
+    arange_cap = jnp.arange(cap, dtype=jnp.int32)
     starts = jnp.where(is_node & (sizes > 0) & ~overflow, cum, cap)
     node_at = jnp.full(cap, jnp.int32(-1)).at[starts].max(t_idx, mode="drop")
     mem_node = lax.cummax(node_at)  # node ids ascend with their offsets
-    in_use = (jnp.arange(cap, dtype=jnp.int32) < total) & (mem_node >= 0) & ~overflow
+    in_use = (arange_cap < total) & (mem_node >= 0) & ~overflow
     safe_node = jnp.maximum(mem_node, 0)
-    rank_e = a_t[safe_node] + (jnp.arange(cap, dtype=jnp.int32) - cum[safe_node])
+    # Offset within the run from a scan (valid t is ≥ 1, so node_at ≥ 0
+    # exactly at run starts), replacing the cum[safe_node] gather.
+    run_start = lax.cummax(jnp.where(node_at >= 0, arange_cap, 0))
+    pav = a_t * 512 + v_t  # a_t < n ≤ 2^21, v_t ≤ 258 < 2^9
+    pav_e = pav[safe_node]
+    rank_e = (pav_e >> 9) + (arange_cap - run_start)
     pos_e = pos[jnp.clip(rank_e, 0, n - 1)]
-    val_e = v_t[safe_node]
+    val_e = pav_e & 511
 
     # Sort 1: (interval, position) → within-interval predecessor.
     key1 = jnp.where(in_use, mem_node, jnp.int32(2**30))
@@ -260,15 +258,16 @@ def _staircase_kernel(data: jnp.ndarray, n: int, budget_factor: int):
     offs = p2 - pred2
     append = emit & (offs <= MAX_OFFSET)
 
-    # Segmented cumulative count of appended rows: global cumsum minus the
-    # value at each segment's first entry.
-    idx = jnp.arange(cap, dtype=jnp.int32)
+    # Segmented cumulative count of appended rows, gather-free: the
+    # exclusive global count at each segment start is non-decreasing
+    # across segments, so forward-filling it is a running max.
     seg_first = jnp.concatenate(
         [jnp.ones(1, jnp.bool_), p2[1:] != p2[:-1]]
     )
-    start_idx = lax.cummax(jnp.where(seg_first, idx, jnp.int32(0)))
-    csum = jnp.cumsum(append.astype(jnp.int32))
-    inc_count = csum - csum[start_idx] + append[start_idx].astype(jnp.int32)
+    app_i = append.astype(jnp.int32)
+    csum = jnp.cumsum(app_i)
+    base = lax.cummax(jnp.where(seg_first, csum - app_i, 0))
+    inc_count = csum - base
     row = inc_count - 1  # 0-based slot among appended rows
     write = append & (row < NMATCHES_PER_OFFSET)
     flat = jnp.where(write, p2 * NMATCHES_PER_OFFSET + row, n * NMATCHES_PER_OFFSET)
@@ -302,7 +301,35 @@ def _bucket(n: int) -> int:
 def _core_kernel(data, n, budget_factor, core_off: int, core_len: int):
     lens, offs, overflow = _staircase_kernel(data, n, budget_factor)
     sl = slice(core_off, core_off + core_len)
-    return lens[sl], offs[sl], overflow
+    # uint16 outputs (lens ≤ 258, offs ≤ 32768) halve the device→host
+    # transfer — material through this host's ~40 MB/s tunnel.
+    return lens[sl].astype(jnp.uint16), offs[sl].astype(jnp.uint16), overflow
+
+
+@functools.partial(jax.jit, static_argnames=("n", "budget_factor", "core_off", "core_len"))
+def _chunk_kernel(bufs, n, budget_factor, core_off: int, core_len: int):
+    """Batched segment kernel. Module-level jit (NOT a per-call closure):
+    the executable is cached across calls by (shape, statics) — a fresh
+    jit(vmap(closure)) per call would recompile every invocation, which
+    costs ~60 s through the remote-compile tunnel."""
+    return jax.vmap(
+        lambda b: _core_kernel(b, n, budget_factor, core_off, core_len)
+    )(bufs)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_chunk_fn(mesh, n, budget_factor, core_off: int, core_len: int):
+    """Jitted shard_map of the segment kernel over the mesh's 'dp' axis,
+    cached by (mesh, statics) so repeated corpus calls reuse the
+    executable instead of recompiling."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    step = shard_map(
+        jax.vmap(lambda b: _core_kernel(b, n, budget_factor, core_off, core_len)),
+        mesh=mesh, in_specs=P("dp"), out_specs=P("dp"), check_vma=False,
+    )
+    return jax.jit(step)
 
 
 def build_segments(data: np.ndarray, spans, seg_core: int):
@@ -339,6 +366,14 @@ def build_segments(data: np.ndarray, spans, seg_core: int):
     return np.stack(bufs), metas
 
 
+# vmap width per dispatch: batching 8 segments in one executable runs
+# ~25% faster per segment than single dispatches, while vmapping ALL
+# segments of a corpus in one executable falls off a memory/scheduling
+# cliff (measured 10x worse at 86 segments on the v5e) — so the local
+# path loops jit(vmap(kernel)) over fixed-size chunks (one compiled shape).
+VMAP_CHUNK = 8
+
+
 def match_tables_for_spans(
     data: np.ndarray,
     spans,
@@ -347,7 +382,7 @@ def match_tables_for_spans(
     mesh=None,
 ) -> list[np.ndarray]:
     """Per-window match tables for the stream's window spans, computed as
-    one batch of segment kernels — locally vmapped, or sharded over a
+    batched segment kernels — locally as chunked vmaps, or sharded over a
     1-axis device mesh ('dp') with shard_map when ``mesh`` is given.
     Overflowing segments (degenerate runs) fall back to the host walk.
     Returns one (prev+in_size, 8, 2) int32 table per window."""
@@ -358,13 +393,24 @@ def match_tables_for_spans(
     segbufs, metas = build_segments(data, spans, seg_core)
     S, L = segbufs.shape
 
-    def one(buf):
-        return _core_kernel(buf, L, budget_factor, HALO, seg_core)
-
     if mesh is None:
-        lens, offs, over = jax.vmap(one)(jnp.asarray(segbufs))
+        lens_c, offs_c, over_c = [], [], []
+        for i in range(0, S, VMAP_CHUNK):
+            chunk = segbufs[i : i + VMAP_CHUNK]
+            n_real = chunk.shape[0]
+            if n_real < VMAP_CHUNK:
+                pad = np.broadcast_to(chunk[-1], (VMAP_CHUNK - n_real, L))
+                chunk = np.concatenate([chunk, pad])
+            cl, co, cv = _chunk_kernel(
+                jnp.asarray(chunk), L, budget_factor, HALO, seg_core
+            )
+            lens_c.append(np.asarray(cl[:n_real]))
+            offs_c.append(np.asarray(co[:n_real]))
+            over_c.append(np.asarray(cv[:n_real]))
+        lens = np.concatenate(lens_c)
+        offs = np.concatenate(offs_c)
+        over = np.concatenate(over_c)
     else:
-        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_dp = mesh.shape["dp"]
@@ -372,14 +418,11 @@ def match_tables_for_spans(
         if S_pad > S:
             pad = np.broadcast_to(segbufs[-1], (S_pad - S, L))
             segbufs = np.concatenate([segbufs, pad])
-        step = shard_map(
-            jax.vmap(one), mesh=mesh, in_specs=P("dp"),
-            out_specs=P("dp"), check_vma=False,
-        )
+        step = _sharded_chunk_fn(mesh, L, budget_factor, HALO, seg_core)
         arr = jax.device_put(
             jnp.asarray(segbufs), NamedSharding(mesh, P("dp"))
         )
-        lens, offs, over = jax.jit(step)(arr)
+        lens, offs, over = step(arr)
     lens = np.asarray(lens[:S])
     offs = np.asarray(offs[:S])
     over = np.asarray(over[:S])
@@ -395,14 +438,12 @@ def match_tables_for_spans(
         prev = min(HALO, w_lo)
         rel = core_abs - w_lo + prev  # row index inside the window buffer
         if over[s]:
-            # Degenerate segment: host walk over the same clipped range.
-            from ..matchfinder import find_all_matches
-
+            # Degenerate segment (membership budget exceeded): host walk
+            # over the same clipped range — identical rows by the halo
+            # equivalence.
             lo = max(core_abs - HALO, w_lo - prev)
             hi = min(core_abs + core_len + TAIL, w_hi)
-            sub = find_all_matches(
-                data[lo:hi], core_abs - lo, hi - lo
-            )
+            sub = _host_walk(data[lo:hi], core_abs - lo)
             tables[w][rel : rel + core_len] = sub[core_abs - lo : core_abs - lo + core_len]
         else:
             tables[w][rel : rel + core_len, :, 0] = lens[s, :core_len]
@@ -410,29 +451,19 @@ def match_tables_for_spans(
     return tables
 
 
-def _match_rows_for_range(
-    window: np.ndarray, lo: int, core_lo: int, core_hi: int, hi: int,
-    ladder,
-):
-    """Device staircase for window positions [core_lo, core_hi), using
-    context [lo, hi). Retries up the membership-budget ladder; returns
-    (lens, offs) arrays of shape (core, 8), or None when even the largest
-    budget overflows (caller falls back to the host walk over the same
-    byte range — exact by the halo argument)."""
-    seg = np.asarray(window[lo:hi], dtype=np.int32)
-    n_real = hi - lo
-    n_pad = _bucket(n_real)
-    if n_pad > n_real:
-        pad = np.arange(256, 256 + (n_pad - n_real), dtype=np.int32)
-        seg = np.concatenate([seg, pad])
-    seg_dev = jnp.asarray(seg)
-    for budget_factor in ladder:
-        lens, offs, overflow = _staircase_kernel(seg_dev, n_pad, budget_factor)
-        if not bool(overflow):
-            lens = np.asarray(lens[core_lo - lo : core_hi - lo])
-            offs = np.asarray(offs[core_lo - lo : core_hi - lo])
-            return lens, offs
-    return None
+def _host_walk(window_bytes: np.ndarray, start: int) -> np.ndarray:
+    """Host lazy-walk fallback for degenerate segments: native when built
+    (microseconds for run-heavy data), spec walk otherwise."""
+    try:
+        from .. import native
+
+        return native.build_match_table(
+            np.ascontiguousarray(window_bytes), start
+        ).astype(np.int32)
+    except Exception:
+        from ..matchfinder import find_all_matches
+
+        return find_all_matches(window_bytes.copy(), start, window_bytes.shape[0])
 
 
 def match_table_jax(
@@ -441,31 +472,17 @@ def match_table_jax(
     """Full per-window match table, shape (end, 8, 2) int32 of
     (length, offset) — bit-identical to matchfinder.find_all_matches.
 
-    ``start``: history bytes (no rows reported, usable as predecessors);
-    ``end``: total window size. Long windows are cut into 64 KB cores with
-    32 KB halo + 258-byte tail segments (exact — see module docstring).
-    """
-    ladder = (budget_factor,) if budget_factor is not None else BUDGET_LADDER
+    ``start``: history bytes (no rows reported, usable as predecessors,
+    at most HALO of them — the streaming core never carries more);
+    ``end``: total window size. The window runs through the same chunked
+    batched segment kernels as the corpus path (one span)."""
     window = np.asarray(window, dtype=np.uint8)
-    table = np.zeros((end, NMATCHES_PER_OFFSET, 2), dtype=np.int32)
-
-    core_lo = start
-    while core_lo < end:
-        core_hi = min(core_lo + SEG_CORE, end)
-        lo = max(0, core_lo - HALO)
-        hi = min(end, core_hi + TAIL)
-        out = _match_rows_for_range(window, lo, core_lo, core_hi, hi, ladder)
-        if out is None:
-            # Degenerate segment (membership budget exceeded): host walk
-            # over the same clipped range — identical rows by the halo
-            # equivalence.
-            from ..matchfinder import find_all_matches
-
-            sub = find_all_matches(window[lo:hi], core_lo - lo, hi - lo)
-            table[core_lo:core_hi] = sub[core_lo - lo : core_hi - lo]
-        else:
-            lens, offs = out
-            table[core_lo:core_hi, :, 0] = lens
-            table[core_lo:core_hi, :, 1] = offs
-        core_lo = core_hi
+    if start > HALO:
+        # More history than DEFLATE can reference — not produced by the
+        # streaming core; walk it on the host.
+        return _host_walk(window[:end], start)
+    budget = budget_factor if budget_factor is not None else BUDGET_LADDER[0]
+    [table] = match_tables_for_spans(
+        window[:end], [(start, end)], budget_factor=budget
+    )
     return table
