@@ -135,11 +135,13 @@ def main() -> int:
             sl = corpus[: 8 << 20]
             single = None
             for w in (1, 2):
-                t0 = time.perf_counter()
-                sblob = multihost.compress_windows_multihost(
-                    sl, zt.FLAG_GZIP_FRAMING, workers=w
-                )
-                dt = time.perf_counter() - t0
+                dt = 1e9
+                for _ in range(2):  # best-of-2: forked planners warm caches
+                    t0 = time.perf_counter()
+                    sblob = multihost.compress_windows_multihost(
+                        sl, zt.FLAG_GZIP_FRAMING, workers=w
+                    )
+                    dt = min(dt, time.perf_counter() - t0)
                 if single is None:
                     single = (dt, sblob)
                 scaling[f"windows_mode_{w}w_MBps"] = round(len(sl) / 1e6 / dt, 3)
