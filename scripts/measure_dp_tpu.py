@@ -1,0 +1,77 @@
+"""Blocked-wavefront DP on the real chip vs the host DP: bit-exactness
+and honest speed (forced fetches; see measure_latency2.py for why).
+
+    python scripts/measure_dp_tpu.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    import jax
+
+    from zultra_tpu import native
+    from zultra_tpu.ops.parse_wavefront import optimize_matches_wavefront
+    from zultra_tpu.blocks import prepare_cost_evaluation
+
+    emit(measure="platform", platform=jax.devices()[0].platform)
+
+    n = 1 << 17  # one DP block of 128 KiB (blocks are ≤ max_block_size)
+    corpus = Path("/tmp/zultra_bench_corpus.bin").read_bytes()
+    window = np.frombuffer(corpus[:n], dtype=np.uint8)
+
+    table = native.build_match_table(window, 0).astype(np.int32)
+
+    # Realistic code lengths: greedy-parse entropy, like the first
+    # convergence pass.
+    lit_enc, off_enc = prepare_cost_evaluation(window, table, 0, n)
+    lit_enc.estimate_dynamic_codelens()
+    off_enc.estimate_dynamic_codelens()
+    lit = np.asarray(lit_enc.code_length, dtype=np.int32)
+    lit[lit == 0] = 9
+    off = np.asarray(off_enc.code_length, dtype=np.int32)
+    off[off == 0] = 6
+
+    # Host DP baseline.
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        host_best = native.optimize_matches(lit, off, window, table.astype(np.uint16), 0, n)
+        best = min(best, time.perf_counter() - t0)
+    emit(measure="host_dp_128K_ms", best_ms=round(best * 1e3, 1),
+         MB_per_s=round(n / 1e6 / best, 2))
+
+    # Device wavefront (includes transfers + selection pass; the wrapper
+    # is the honest unit since the production DP consumer is host code).
+    t0 = time.perf_counter()
+    dev_best = optimize_matches_wavefront(lit, off, window, table, 0, n)
+    emit(measure="wavefront_compile_first_s", seconds=round(time.perf_counter() - t0, 1))
+    ok = np.array_equal(dev_best, host_best.astype(np.int32))
+    emit(measure="wavefront_bitexact_vs_host_dp", ok=bool(ok))
+
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev_best = optimize_matches_wavefront(lit, off, window, table, 0, n)
+        best = min(best, time.perf_counter() - t0)
+    emit(measure="wavefront_dp_128K_e2e_ms", best_ms=round(best * 1e3, 1),
+         MB_per_s=round(n / 1e6 / best, 2))
+
+    emit(measure="done")
+
+
+if __name__ == "__main__":
+    main()
