@@ -16,6 +16,7 @@ Env knobs:
   BENCH_PARITY  "0" to skip the reference parity run (default on)
   BENCH_JAX     "0" to skip the jax-engine slice (default on)
   BENCH_SCALING "0" to skip the windows-mode scaling probe (default on)
+  BENCH_SA      "0" to skip the batched device-SA vs host SA-IS probe
 """
 
 from __future__ import annotations
@@ -184,6 +185,43 @@ def main() -> int:
         except Exception as exc:  # pragma: no cover - report, don't fail
             jax_metrics = {"jax_engine_error": str(exc)[:120]}
 
+    # Batched device SA vs host SA-IS (VERDICT r1 item 2): compute-side
+    # MB/s at batch 8, bit-exact, on whatever chip is attached.
+    sa_metrics = {}
+    if os.environ.get("BENCH_SA", "1") != "0":
+        try:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            from zultra_tpu import native
+            from zultra_tpu.ops.suffix_jax import _doubling_rounds, _num_levels
+
+            B, n = 8, 1 << 17
+            wins = np.frombuffer(corpus[: B * n], dtype=np.uint8).reshape(B, n)
+            host_t = time.perf_counter()
+            host_sas = [native.suffix_array(w) for w in wins]
+            host_t = time.perf_counter() - host_t
+
+            levels = _num_levels(n)
+            sa_fn = jax.jit(jax.vmap(lambda w: _doubling_rounds(w, n, levels, 8)[0]))
+            dwins = jnp.asarray(wins.astype(np.int32))
+            dev_sa = np.asarray(sa_fn(dwins))  # compile + warm + check
+            ok = all(np.array_equal(dev_sa[i], host_sas[i]) for i in range(B))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = np.asarray(sa_fn(dwins).sum())  # forced fetch, compute-side
+                best = min(best, time.perf_counter() - t0)
+            sa_metrics = {
+                "device_sa_batch8_MBps": round(B * n / 1e6 / best, 2),
+                "host_sais_MBps": round(B * n / 1e6 / host_t, 2),
+                "device_sa_bitexact": bool(ok),
+                "device_platform": jax.devices()[0].platform,
+            }
+        except Exception as exc:  # pragma: no cover
+            sa_metrics = {"device_sa_error": str(exc)[:120]}
+
     result = {
         "metric": "text_corpus_gzip_compress_throughput_bitexact",
         "value": round(mbps, 3),
@@ -198,6 +236,7 @@ def main() -> int:
         "engine": zt.get_engine().name,
         **jax_metrics,
         **scaling,
+        **sa_metrics,
     }
     print(json.dumps(result))
     return 0 if parity_delta in (0, None) else 1

@@ -389,3 +389,80 @@ def test_wavefront_dp_equals_native():
         ref = native_dp(lit, off, data, table.astype(np.uint16), start, n).astype(np.int32)
         got = optimize_matches_wavefront(lit, off, data, table, start, n)
         assert np.array_equal(ref, got), (trial, n, alpha, start)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_padded_descent_find_left_right(seed):
+    """The single-descent PSV/NSV over the zero-padded sparse-min table
+    (matchfinder_jax._find_left/_find_right) against a brute oracle, at
+    the kernel's exact call shapes (L has 0-sentinels at both ends and
+    thresholds are the values themselves, clamped to >= 1)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from zultra_tpu.ops.matchfinder_jax import (
+        _build_sparse_min, _find_left, _find_right,
+    )
+
+    rng = np.random.RandomState(400 + seed)
+    n = int(rng.randint(4, 700))
+    inner = rng.randint(0, int(rng.choice([3, 8, 258])), max(n - 1, 0))
+    L = np.zeros(n + 1, np.int32)
+    L[1:n] = np.where(inner < 3, 0, inner)
+
+    m = n + 1
+    lev = max(1, int(math.ceil(math.log2(m))))
+    pad = 1 << lev
+    padded = jnp.concatenate(
+        [jnp.zeros(pad, jnp.int32), jnp.asarray(L), jnp.zeros(pad, jnp.int32)]
+    )
+    st = _build_sparse_min(padded, lev)
+
+    t_idx = np.arange(n, dtype=np.int32)
+    v_t = L[:n]
+    thresh = np.maximum(v_t, 1)
+    a = np.asarray(_find_left(st, lev, pad, jnp.asarray(np.maximum(t_idx - 1, 0)),
+                              jnp.asarray(thresh)))
+    b = np.asarray(_find_right(st, lev, pad, jnp.asarray(t_idx + 1),
+                               jnp.asarray(thresh)))
+
+    for t in range(n):
+        x = max(t - 1, 0)
+        want_a = max(j for j in range(x + 1) if L[j] < thresh[t])
+        assert a[t] == want_a, (t, a[t], want_a)
+        want_b = min(j for j in range(t + 1, m) if L[j] < thresh[t])
+        assert b[t] == want_b, (t, b[t], want_b)
+
+
+def test_doubling_rounds_store_levels():
+    """Capped rank-table storage: rows are the true per-level tables, the
+    SA is the full suffix array, and equality at any stored level still
+    answers 'equal 2^l-gram?' correctly (the staircase's LCP contract)."""
+    import jax.numpy as jnp
+
+    from zultra_tpu.ops.suffix_jax import _doubling_rounds, _num_levels
+    from zultra_tpu.suffix import suffix_array_numpy
+
+    rng = np.random.RandomState(7)
+    data = rng.randint(0, 4, 3000).astype(np.uint8)
+    n = data.shape[0]
+    levels = _num_levels(n)
+
+    sa_full, ranks_full = _doubling_rounds(jnp.asarray(data.astype(np.int32)), n, levels)
+    sa_cap, ranks_cap = _doubling_rounds(
+        jnp.asarray(data.astype(np.int32)), n, levels, store_levels=8
+    )
+    assert np.array_equal(np.asarray(sa_cap), suffix_array_numpy(data))
+    assert np.array_equal(np.asarray(sa_cap), np.asarray(sa_full))
+    assert ranks_cap.shape[0] == 9
+    assert np.array_equal(np.asarray(ranks_cap), np.asarray(ranks_full[:9]))
+
+    # Equality semantics per stored level: ranks equal <=> grams equal.
+    ranks_np = np.asarray(ranks_cap)
+    for l in (0, 3, 8):
+        w = 1 << l
+        pairs = np.random.RandomState(11).randint(0, n - w, (64, 2))
+        for i, j in pairs:
+            same = np.array_equal(data[i : i + w], data[j : j + w])
+            assert (ranks_np[l][i] == ranks_np[l][j]) == same
