@@ -394,19 +394,33 @@ def match_tables_for_spans(
     S, L = segbufs.shape
 
     if mesh is None:
+        # Dispatch ahead (JAX dispatch is async): keep a few chunks in
+        # flight so device compute overlaps the device->host fetches.
+        # Depth bounds resident output buffers (~25 MB/chunk at defaults).
+        DEPTH = 4
         lens_c, offs_c, over_c = [], [], []
+        in_flight = []
+
+        def drain_one():
+            n_real, (cl, co, cv) = in_flight.pop(0)
+            lens_c.append(np.asarray(cl[:n_real]))
+            offs_c.append(np.asarray(co[:n_real]))
+            over_c.append(np.asarray(cv[:n_real]))
+
         for i in range(0, S, VMAP_CHUNK):
             chunk = segbufs[i : i + VMAP_CHUNK]
             n_real = chunk.shape[0]
             if n_real < VMAP_CHUNK:
                 pad = np.broadcast_to(chunk[-1], (VMAP_CHUNK - n_real, L))
                 chunk = np.concatenate([chunk, pad])
-            cl, co, cv = _chunk_kernel(
+            out = _chunk_kernel(
                 jnp.asarray(chunk), L, budget_factor, HALO, seg_core
             )
-            lens_c.append(np.asarray(cl[:n_real]))
-            offs_c.append(np.asarray(co[:n_real]))
-            over_c.append(np.asarray(cv[:n_real]))
+            in_flight.append((n_real, out))
+            if len(in_flight) > DEPTH:
+                drain_one()
+        while in_flight:
+            drain_one()
         lens = np.concatenate(lens_c)
         offs = np.concatenate(offs_c)
         over = np.concatenate(over_c)
