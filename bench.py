@@ -160,6 +160,16 @@ def main() -> int:
     jax_metrics = {}
     if os.environ.get("BENCH_JAX", "1") != "0":
         try:
+            import jax
+
+            # Persistent compilation cache: the chunk kernel costs minutes
+            # to compile cold through the remote-compile tunnel.
+            try:
+                jax.config.update("jax_compilation_cache_dir", "/tmp/zultra_jax_cache")
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:
+                pass
+
             from zultra_tpu.engine import JaxEngine
 
             jslice = corpus[: 2 << 20]
