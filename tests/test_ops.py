@@ -5,6 +5,7 @@ Pallas kernels run in interpreter mode here and compiled on real TPU.
 """
 
 import zlib
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -466,3 +467,76 @@ def test_doubling_rounds_store_levels():
         for i, j in pairs:
             same = np.array_equal(data[i : i + w], data[j : j + w])
             assert (ranks_np[l][i] == ranks_np[l][j]) == same
+
+
+def test_write_tokens_jax_equals_bitwriter():
+    """Device token emission (pointer-doubling token walk + prefix-sum
+    bit offsets + word scatter) is byte-identical to the sequential
+    BitWriter writing the same tokens (reference write loop semantics,
+    blockdeflate.c:471-507), including the EOD codeword."""
+    from zultra_tpu import native
+    from zultra_tpu.bitwriter import BitWriter
+    from zultra_tpu.constants import (
+        MATCHLEN_BASE, MATCHLEN_EXTRA_BITS, MATCHLEN_SYMBOL, MIN_MATCH_SIZE,
+        NEODMARKERSYM, NLITERALSYMS, NOFFSETSYMS, OFFSET_BASE,
+        OFFSET_EXTRA_BITS, OFFSET_SYMBOL,
+        static_literal_code_lengths, static_offset_code_lengths,
+    )
+    from zultra_tpu.huffman import HuffmanEncoder
+    from zultra_tpu.ops.emit_jax import write_tokens_jax
+
+    lit = HuffmanEncoder(NLITERALSYMS, 15)
+    off = HuffmanEncoder(NOFFSETSYMS, 15)
+    lit.code_length[:NLITERALSYMS] = [int(x) for x in static_literal_code_lengths()]
+    off.code_length[:NOFFSETSYMS] = [int(x) for x in static_offset_code_lengths()]
+    lit.build_static_codewords()
+    off.build_static_codewords()
+    lit_lens = np.asarray(lit.code_length, dtype=np.int32)
+    off_lens = np.asarray(off.code_length, dtype=np.int32)
+
+    src = Path("/root/reference/src/blockdeflate.c").read_bytes()
+    rng = np.random.RandomState(5)
+    cases = [
+        (np.frombuffer(src[:20000], dtype=np.uint8), 0),
+        (np.frombuffer(src[:9000], dtype=np.uint8), 4096),  # history prefix
+        (rng.randint(0, 256, 5000).astype(np.uint8), 0),    # literal-heavy
+        (np.tile(np.frombuffer(b"abcab", dtype=np.uint8), 1500), 0),  # match-heavy
+    ]
+    for data, start in cases:
+        data = np.ascontiguousarray(data)
+        n = data.shape[0]
+        table = native.build_match_table(data, start)
+        best = native.optimize_matches(
+            lit_lens, off_lens, data, table, start, n
+        ).astype(np.int32)
+
+        got_bytes, got_bits = write_tokens_jax(data, best, start, n, lit, off)
+
+        buf = bytearray(4 * n + 64)
+        bw = BitWriter(buf, 0, len(buf))
+        bits = 0
+        i = start
+        while i < n:
+            length = int(best[i, 0])
+            if length >= MIN_MATCH_SIZE:
+                e = length - MIN_MATCH_SIZE
+                eidx = min(e, 255)
+                lit.write_codeword(int(MATCHLEN_SYMBOL[eidx]), bw)
+                bw.put_bits(e - int(MATCHLEN_BASE[eidx]), int(MATCHLEN_EXTRA_BITS[eidx]))
+                offset = int(best[i, 1])
+                oidx = offset - 1 if offset <= 256 else 256 + ((offset - 1 - 256) >> 7)
+                off.write_codeword(int(OFFSET_SYMBOL[oidx]), bw)
+                bw.put_bits(offset - int(OFFSET_BASE[oidx]), int(OFFSET_EXTRA_BITS[oidx]))
+                bits += lit.code_length[MATCHLEN_SYMBOL[eidx]] + int(MATCHLEN_EXTRA_BITS[eidx])
+                bits += off.code_length[OFFSET_SYMBOL[oidx]] + int(OFFSET_EXTRA_BITS[oidx])
+                i += length
+            else:
+                lit.write_codeword(int(data[i]), bw)
+                bits += lit.code_length[data[i]]
+                i += 1
+        lit.write_codeword(NEODMARKERSYM, bw)
+        bits += lit.code_length[NEODMARKERSYM]
+        bw.flush_bits()
+
+        assert got_bits == bits, (got_bits, bits)
+        assert got_bytes == bytes(buf[: bw.get_offset()]), "bitstream mismatch"
