@@ -133,7 +133,7 @@ def main() -> int:
         try:
             from zultra_tpu.parallel import multihost
 
-            sl = corpus[: 8 << 20]
+            sl = corpus[: 16 << 20]  # ≥8 windows per worker at 2 workers
             single = None
             for w in (1, 2):
                 dt = 1e9
