@@ -1,4 +1,9 @@
-"""Isolate the per-dispatch vs per-op latency of the attached TPU backend.
+"""SUPERSEDED — kept as the negative result: every number this script
+prints is ~0.1 ms because jax.block_until_ready does NOT block on the
+axon backend. Use scripts/measure_latency2.py (forced fetches + chain
+slopes) for true timings.
+
+Isolate the per-dispatch vs per-op latency of the attached TPU backend.
 
     python scripts/measure_latency.py
 

@@ -540,3 +540,83 @@ def test_write_tokens_jax_equals_bitwriter():
 
         assert got_bits == bits, (got_bits, bits)
         assert got_bytes == bytes(buf[: bw.get_offset()]), "bitstream mismatch"
+
+
+def test_write_tokens_jax_dynamic_codes():
+    """Device emission with DYNAMIC codewords (the production shape):
+    codes built from the final token histogram, exactly as plan_block
+    hands them to the write loop."""
+    from zultra_tpu import native
+    from zultra_tpu.bitwriter import BitWriter
+    from zultra_tpu.constants import (
+        MATCHLEN_BASE, MATCHLEN_EXTRA_BITS, MATCHLEN_SYMBOL, MIN_MATCH_SIZE,
+        NEODMARKERSYM, NLITERALSYMS, NOFFSETSYMS, OFFSET_BASE,
+        OFFSET_EXTRA_BITS, OFFSET_SYMBOL,
+        static_literal_code_lengths, static_offset_code_lengths,
+    )
+    from zultra_tpu.huffman import HuffmanEncoder
+    from zultra_tpu.ops.emit_jax import write_tokens_jax
+
+    data = np.frombuffer(
+        Path("/root/reference/src/libzultra.c").read_bytes()[:16384], dtype=np.uint8
+    )
+    data = np.ascontiguousarray(data)
+    n = data.shape[0]
+    table = native.build_match_table(data, 0)
+
+    # Pass 1 with static lengths to get tokens, then dynamic codes from
+    # the token histogram (like the convergence loop's recount).
+    slit = np.asarray(static_literal_code_lengths(), dtype=np.int32)
+    slit = np.concatenate([slit, np.zeros(NLITERALSYMS - slit.shape[0], np.int32)])
+    soff = np.asarray(static_offset_code_lengths(), dtype=np.int32)
+    best = native.optimize_matches(slit[:NLITERALSYMS], soff, data, table, 0, n).astype(np.int32)
+
+    lit = HuffmanEncoder(NLITERALSYMS, 15)
+    off = HuffmanEncoder(NOFFSETSYMS, 15)
+    i = 0
+    while i < n:
+        length = int(best[i, 0])
+        if length >= MIN_MATCH_SIZE:
+            e = min(length - MIN_MATCH_SIZE, 255)
+            lit.entropy[int(MATCHLEN_SYMBOL[e])] += 1
+            offset = int(best[i, 1])
+            oidx = offset - 1 if offset <= 256 else 256 + ((offset - 1 - 256) >> 7)
+            off.entropy[int(OFFSET_SYMBOL[oidx])] += 1
+            i += length
+        else:
+            lit.entropy[int(data[i])] += 1
+            i += 1
+    lit.entropy[NEODMARKERSYM] += 1
+    lit.build_dynamic_codewords()
+    off.build_dynamic_codewords()
+
+    got_bytes, got_bits = write_tokens_jax(data, best, 0, n, lit, off)
+
+    buf = bytearray(4 * n + 64)
+    bw = BitWriter(buf, 0, len(buf))
+    i = 0
+    bits = 0
+    while i < n:
+        length = int(best[i, 0])
+        if length >= MIN_MATCH_SIZE:
+            e = length - MIN_MATCH_SIZE
+            eidx = min(e, 255)
+            lit.write_codeword(int(MATCHLEN_SYMBOL[eidx]), bw)
+            bw.put_bits(e - int(MATCHLEN_BASE[eidx]), int(MATCHLEN_EXTRA_BITS[eidx]))
+            offset = int(best[i, 1])
+            oidx = offset - 1 if offset <= 256 else 256 + ((offset - 1 - 256) >> 7)
+            off.write_codeword(int(OFFSET_SYMBOL[oidx]), bw)
+            bw.put_bits(offset - int(OFFSET_BASE[oidx]), int(OFFSET_EXTRA_BITS[oidx]))
+            bits += lit.code_length[MATCHLEN_SYMBOL[eidx]] + int(MATCHLEN_EXTRA_BITS[eidx])
+            bits += off.code_length[OFFSET_SYMBOL[oidx]] + int(OFFSET_EXTRA_BITS[oidx])
+            i += length
+        else:
+            lit.write_codeword(int(data[i]), bw)
+            bits += lit.code_length[data[i]]
+            i += 1
+    lit.write_codeword(NEODMARKERSYM, bw)
+    bits += lit.code_length[NEODMARKERSYM]
+    bw.flush_bits()
+
+    assert got_bits == bits
+    assert got_bytes == bytes(buf[: bw.get_offset()])
