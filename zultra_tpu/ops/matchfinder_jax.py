@@ -272,11 +272,14 @@ def _staircase_kernel(data: jnp.ndarray, n: int, budget_factor: int):
     write = append & (row < NMATCHES_PER_OFFSET)
     flat = jnp.where(write, p2 * NMATCHES_PER_OFFSET + row, n * NMATCHES_PER_OFFSET)
 
-    lens = jnp.zeros(n * NMATCHES_PER_OFFSET, jnp.int32).at[flat].set(val2, mode="drop")
-    offs_out = jnp.zeros(n * NMATCHES_PER_OFFSET, jnp.int32).at[flat].set(offs, mode="drop")
+    # One packed scatter ((len << 16) | off — len ≤ 258, off ≤ 32768)
+    # instead of two: scatters cost ~4x sorts per element on this chip.
+    packed = jnp.zeros(n * NMATCHES_PER_OFFSET, jnp.int32).at[flat].set(
+        (val2 << 16) | offs, mode="drop"
+    )
     return (
-        lens.reshape(n, NMATCHES_PER_OFFSET),
-        offs_out.reshape(n, NMATCHES_PER_OFFSET),
+        (packed >> 16).reshape(n, NMATCHES_PER_OFFSET),
+        (packed & 0xFFFF).reshape(n, NMATCHES_PER_OFFSET),
         overflow,
     )
 

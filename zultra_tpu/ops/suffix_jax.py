@@ -68,10 +68,12 @@ def _doubling_rounds(data: jnp.ndarray, n: int, levels: int,
         _, rank = lax.sort((sa, r_sorted), num_keys=1)
         return rank, distinct
 
-    # Level 0: rank by single symbol.
-    key0 = data.astype(jnp.int32)
-    k1, sa = lax.sort((key0, idx), num_keys=1)
-    rank, distinct = rerank(k1, jnp.zeros_like(k1), sa)
+    # Level 0: the raw symbol values ARE a width-1 comparison table (every
+    # consumer tests equality / lexicographic order only), so the first
+    # doubling round sorts (symbol, next symbol) directly — no separate
+    # level-0 ranking pass.
+    rank = data.astype(jnp.int32)
+    distinct = jnp.bool_(False)
 
     rows = [rank]
     for level in range(min(levels, store_levels)):
