@@ -271,6 +271,10 @@ static void build_match_table(MatchFinder& mf, int32_t start, int32_t end, uint1
     for (int32_t i = 0; i < start; ++i) mf.matches_at(i, scratch, 0);
 
     for (int32_t i = start; i < end; ++i) {
+        // The first interval deref of the NEXT position's ascent is a
+        // data-dependent miss; issue it one iteration early.
+        if (i + 1 < end)
+            __builtin_prefetch(&mf.intervals[mf.pos_data[i + 1] & kPosMask]);
         uint16_t* row = table + (int64_t)i * kMatchesPerPos * 2;
         int32_t found = mf.matches_at(i, row, kMatchesPerPos);
         int32_t max_len = end - i;
@@ -281,6 +285,37 @@ static void build_match_table(MatchFinder& mf, int32_t start, int32_t end, uint1
             } else if (row[m * 2] > max_len) {
                 row[m * 2] = (uint16_t)max_len;
             }
+        }
+    }
+}
+
+// -- greedy token chain -------------------------------------------------------
+//
+// The greedy parse (always take the longest match, else a literal) is fully
+// determined by row 0 of the match table, so every consumer that walks it —
+// the block splitter's drift statistics, its per-segment entropy evaluations,
+// and the planner's first histogram — can share one precomputed, packed
+// per-position token: skip (9 bits) | lit-or-len symbol (9 bits) |
+// offset symbol or 31=none (5 bits). Walking 4-byte tokens instead of
+// 32-byte match-table rows cuts the splitter's cache traffic ~8x.
+// (Replaces repeated table walks; reference counterpart:
+// /root/reference/src/blockdeflate.c block splitting re-walks matches.)
+
+constexpr uint32_t kTokSkipMask = 0x1FF;
+constexpr uint32_t kTokNoOffSym = 31;
+
+static void build_greedy_chain(const uint8_t* window, const uint16_t* table,
+                               int32_t start, int32_t end, uint32_t* tok) {
+    for (int32_t i = start; i < end; ++i) {
+        const uint16_t* row = table + (int64_t)i * kMatchesPerPos * 2;
+        const int32_t length = row[0];
+        if (length >= kMinMatch) {
+            int32_t e = length - kMinMatch;
+            if (e > 255) e = 255;
+            const uint32_t s1 = T.off_sym[SymbolTables::off_index(row[1])];
+            tok[i] = (uint32_t)length | ((uint32_t)T.len_sym[e] << 9) | (s1 << 18);
+        } else {
+            tok[i] = 1u | ((uint32_t)window[i] << 9) | (kTokNoOffSym << 18);
         }
     }
 }
@@ -380,6 +415,21 @@ static void token_entropy(HuffEncoder& lit, HuffEncoder& off, const uint8_t* win
     lit.entropy[kEodSym]++;
 }
 
+// Greedy-parse histograms from the packed token chain (identical symbol
+// accounting to token_entropy over the match table, ~8x less cache traffic).
+static void token_entropy_chain(HuffEncoder& lit, HuffEncoder& off,
+                                const uint32_t* tok, int32_t start, int32_t end) {
+    int32_t i = start;
+    while (i < end) {
+        const uint32_t t = tok[i];
+        lit.entropy[(t >> 9) & kTokSkipMask]++;
+        const uint32_t s1 = t >> 18;
+        if (s1 != kTokNoOffSym) off.entropy[s1]++;
+        i += (int32_t)(t & kTokSkipMask);
+    }
+    lit.entropy[kEodSym]++;
+}
+
 static void post_optimize(const HuffEncoder& lit, const HuffEncoder& off,
                           const uint8_t* window, uint16_t* best,
                           int32_t start, int32_t end) {
@@ -444,11 +494,11 @@ static bool write_tokens(const HuffEncoder& lit, const HuffEncoder& off,
 // -- block-level cost evaluation --------------------------------------------
 
 static void prepare_cost_evaluation(HuffEncoder& lit, HuffEncoder& off,
-                                    const uint8_t* window, const uint16_t* table,
+                                    const uint32_t* tok,
                                     int32_t start, int32_t size) {
     lit.init(kNumLiteralSyms, 15);
     off.init(kNumOffsetSyms, 15);
-    token_entropy(lit, off, window, table, kMatchesPerPos, start, start + size);
+    token_entropy_chain(lit, off, tok, start, start + size);
 }
 
 static const int32_t kStaticLitLens[4][2] = {{144, 8}, {112, 9}, {24, 7}, {8, 8}};
@@ -511,14 +561,14 @@ static int64_t estimated_dynamic_cost_of_entropy(HuffEncoder& lit, HuffEncoder& 
 
 // -- block splitting --------------------------------------------------------
 
-static void split_recursive(const uint8_t* window, const uint16_t* table,
+static void split_recursive(const uint32_t* tok,
                             int32_t start, int32_t size, int32_t depth,
                             int32_t max_splits, std::vector<int32_t>& splits) {
     if ((int32_t)splits.size() >= max_splits) return;
     if (depth >= 6 || size < 8192) return;
 
     HuffEncoder lit, off;
-    prepare_cost_evaluation(lit, off, window, table, start, size);
+    prepare_cost_evaluation(lit, off, tok, start, size);
     const int64_t total_cost = estimated_dynamic_cost_of_entropy(lit, off);
     int32_t total_lit_ent[kNumLiteralSyms], total_off_ent[kNumOffsetSyms];
     std::memcpy(total_lit_ent, lit.entropy, sizeof(total_lit_ent));
@@ -540,13 +590,14 @@ static void split_recursive(const uint8_t* window, const uint16_t* table,
     const int32_t end = start + size;
     int32_t i = start;
     while (i < end) {
-        const int32_t length = table[(int64_t)i * kMatchesPerPos * 2];
-        if (length >= kMinMatch) {
+        const uint32_t t = tok[i];
+        const int32_t length = (int32_t)(t & kTokSkipMask);
+        if ((t >> 18) != kTokNoOffSym) {
             new_stat[length >= 9 ? 17 : 16]++;
             ++n_new_stats;
             i += length;
         } else {
-            const uint8_t byte = window[i];
+            const uint8_t byte = (uint8_t)((t >> 9) & 0xFF);
             new_stat[((byte >> 4) & 0xC) | (byte & 0x3)]++;
             ++n_new_stats;
             ++i;
@@ -562,7 +613,7 @@ static void split_recursive(const uint8_t* window, const uint16_t* table,
                 }
 
                 if ((total_delta / n_new_stats) >= (n_stats * 45 / 100) && last_good_split >= 0) {
-                    prepare_cost_evaluation(seg_lit, seg_off, window, table,
+                    prepare_cost_evaluation(seg_lit, seg_off, tok,
                                             last_left_end, last_good_split - last_left_end);
                     for (int32_t j = 0; j < kNumLiteralSyms; ++j)
                         left_lit.entropy[j] += seg_lit.entropy[j];
@@ -597,16 +648,16 @@ static void split_recursive(const uint8_t* window, const uint16_t* table,
     }
 
     if (best_split != start + size) {
-        split_recursive(window, table, start, best_split - start, depth + 1, max_splits, splits);
+        split_recursive(tok, start, best_split - start, depth + 1, max_splits, splits);
         if ((int32_t)splits.size() < max_splits) splits.push_back(best_split);
-        split_recursive(window, table, best_split, end - best_split, depth + 1, max_splits, splits);
+        split_recursive(tok, best_split, end - best_split, depth + 1, max_splits, splits);
     }
 }
 
-static std::vector<int32_t> block_split(const uint8_t* window, const uint16_t* table,
+static std::vector<int32_t> block_split(const uint32_t* tok,
                                         int32_t start, int32_t size) {
     std::vector<int32_t> splits;
-    split_recursive(window, table, start, size, 0, kMaxSplits - 1, splits);
+    split_recursive(tok, start, size, 0, kMaxSplits - 1, splits);
     if ((int32_t)splits.size() < kMaxSplits) splits.push_back(start + size);
     return splits;
 }
@@ -628,7 +679,8 @@ struct BlockPlan {
     int32_t lens[kNumLiteralSyms + kNumOffsetSyms];
 };
 
-static void plan_block(const uint8_t* window, const uint16_t* table, uint16_t* best,
+static void plan_block(const uint8_t* window, const uint16_t* table,
+                       const uint32_t* tok, uint16_t* best,
                        int32_t* cost_scratch, BlockPlan& plan) {
     const int32_t start = plan.start;
     const int32_t size = plan.size;
@@ -637,7 +689,7 @@ static void plan_block(const uint8_t* window, const uint16_t* table, uint16_t* b
     // Static vs dynamic choice from the greedy parse.
     {
         HuffEncoder glit, goff;
-        prepare_cost_evaluation(glit, goff, window, table, start, size);
+        prepare_cost_evaluation(glit, goff, tok, start, size);
         const int64_t static_cost = evaluate_static_cost(glit, goff);
         glit.estimate_dynamic_codelens();
         goff.estimate_dynamic_codelens();
@@ -659,7 +711,7 @@ static void plan_block(const uint8_t* window, const uint16_t* table, uint16_t* b
     }
 
     constexpr int32_t kConvergencePasses = 3;
-    token_entropy(lit, off, window, table, kMatchesPerPos, start, end);
+    token_entropy_chain(lit, off, tok, start, end);
     lit.build_dynamic_codewords();
     off.build_dynamic_codewords();
 
@@ -781,6 +833,7 @@ struct WindowJob {
     int32_t in_size = 0;
     MatchFinder mf;
     std::vector<uint16_t> table;
+    std::vector<uint32_t> tok;  // packed greedy token chain
     std::vector<uint16_t> best;
     std::vector<BlockPlan> plans;
 };
@@ -837,7 +890,10 @@ static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t
 
     job->best.assign((int64_t)n * 2, 0);
 
-    const std::vector<int32_t> splits = block_split(window, job->table.data(), prev, in_size);
+    job->tok.resize(n);
+    build_greedy_chain(window, job->table.data(), prev, n, job->tok.data());
+
+    const std::vector<int32_t> splits = block_split(job->tok.data(), prev, in_size);
     timer.mark("block split");
 
     // Plan every block (DP convergence + tables), in parallel when the
@@ -865,7 +921,8 @@ static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t
     if (n_threads <= 1) {
         std::vector<int32_t> cost_scratch(n + 1);
         for (BlockPlan& plan : plans)
-            plan_block(window, job->table.data(), job->best.data(), cost_scratch.data(), plan);
+            plan_block(window, job->table.data(), job->tok.data(), job->best.data(),
+                       cost_scratch.data(), plan);
     } else {
         std::atomic<size_t> next{0};
         auto worker = [&] {
@@ -873,8 +930,8 @@ static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t
             for (;;) {
                 const size_t idx = next.fetch_add(1);
                 if (idx >= plans.size()) break;
-                plan_block(window, job->table.data(), job->best.data(), cost_scratch.data(),
-                           plans[idx]);
+                plan_block(window, job->table.data(), job->tok.data(), job->best.data(),
+                           cost_scratch.data(), plans[idx]);
             }
         };
         std::vector<std::thread> threads;
