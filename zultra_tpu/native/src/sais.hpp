@@ -9,6 +9,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <type_traits>
 #include <vector>
 
 namespace zn {
@@ -44,6 +45,16 @@ void sais_with_sentinel(const T* s, int32_t* sa, int32_t n, int32_t alphabet_siz
         for (int32_t c = 0; c < alphabet_size; ++c) { acc += bucket_count[c]; bucket_tails[c] = acc; }
     };
 
+    // Symbol + type bit fused into one word so the induce loops issue ONE
+    // data-dependent load per entry instead of two (s[p-1] and
+    // is_s_type[p-1] hit different cache lines).
+    using U = typename std::make_unsigned<T>::type;
+    constexpr U kTypeBit = (U)1 << (sizeof(U) * 8 - 1);
+    constexpr U kSymMask = kTypeBit - 1;
+    std::vector<U> comb(n);
+    for (int32_t i = 0; i < n; ++i)
+        comb[i] = (U)s[i] | (is_s_type[i] ? kTypeBit : 0);
+
     auto induce = [&](const std::vector<int32_t>& lms_order) {
         std::memset(sa, -1, sizeof(int32_t) * n);
         // Seed: LMS suffixes at their bucket tails, in the given order
@@ -57,13 +68,21 @@ void sais_with_sentinel(const T* s, int32_t* sa, int32_t n, int32_t alphabet_siz
         reset_heads();
         for (int32_t i = 0; i < n; ++i) {
             int32_t p = sa[i];
-            if (p > 0 && !is_s_type[p - 1]) sa[bucket_heads[s[p - 1]]++] = p - 1;
+            if (i + 4 < n && sa[i + 4] > 0) __builtin_prefetch(&comb[sa[i + 4] - 1]);
+            if (p > 0) {
+                const U c = comb[p - 1];
+                if (!(c & kTypeBit)) sa[bucket_heads[c]++] = p - 1;
+            }
         }
         // Induce S-type suffixes right to left.
         reset_tails();
         for (int32_t i = n - 1; i >= 0; --i) {
             int32_t p = sa[i];
-            if (p > 0 && is_s_type[p - 1]) sa[--bucket_tails[s[p - 1]]] = p - 1;
+            if (i - 4 >= 0 && sa[i - 4] > 0) __builtin_prefetch(&comb[sa[i - 4] - 1]);
+            if (p > 0) {
+                const U c = comb[p - 1];
+                if (c & kTypeBit) sa[--bucket_tails[c & kSymMask]] = p - 1;
+            }
         }
     };
 
@@ -133,16 +152,19 @@ void sais_with_sentinel(const T* s, int32_t* sa, int32_t n, int32_t alphabet_siz
 // internal sentinel by shifting the alphabet. The optional scratch
 // vectors let callers reuse the two O(n) temporaries across invocations.
 inline void suffix_array(const uint8_t* data, int32_t n, int32_t* sa,
-                         std::vector<int32_t>* s_scratch = nullptr,
+                         std::vector<uint16_t>* s_scratch = nullptr,
                          std::vector<int32_t>* sa_scratch = nullptr) {
     if (n <= 0) return;
     if (n == 1) { sa[0] = 0; return; }
-    std::vector<int32_t> s_local, sa_local;
-    std::vector<int32_t>& s = s_scratch ? *s_scratch : s_local;
+    std::vector<uint16_t> s_local;
+    std::vector<int32_t> sa_local;
+    // uint16 top-level text: values 0..256 fit, and the induce loops'
+    // random loads then touch half the cache footprint of an int32 text.
+    std::vector<uint16_t>& s = s_scratch ? *s_scratch : s_local;
     std::vector<int32_t>& sa_tmp = sa_scratch ? *sa_scratch : sa_local;
     s.resize(n + 1);
     sa_tmp.resize(n + 1);
-    for (int32_t i = 0; i < n; ++i) s[i] = (int32_t)data[i] + 1;
+    for (int32_t i = 0; i < n; ++i) s[i] = (uint16_t)(data[i] + 1);
     s[n] = 0;
     detail::sais_with_sentinel(s.data(), sa_tmp.data(), n + 1, 257);
     // Drop the sentinel suffix (always first).

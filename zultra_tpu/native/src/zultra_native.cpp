@@ -140,7 +140,7 @@ struct MatchFinder {
     std::vector<int32_t> sa_scratch;
     std::vector<int32_t> plcp_scratch;
     std::vector<int32_t> phi_scratch;
-    std::vector<int32_t> sais_s_scratch;
+    std::vector<uint16_t> sais_s_scratch;
     std::vector<int32_t> sais_sa_scratch;
     int32_t n;
 
