@@ -333,12 +333,16 @@ static void optimize_matches(const HuffEncoder& lit, const HuffEncoder& off,
     // cost and, on ties, the LARGEST length — exactly the semantics of the
     // reference's downward scan with strict improvement. Costs stay below
     // 2^25 (≤15 bits/byte over ≤2 MB), so the shift cannot overflow int32.
-    int32_t cached_varlen[kLeaveAlone];
     int32_t cached6[kLeaveAlone];
     for (int32_t i = 0; i < kLeaveAlone; ++i) {
-        cached_varlen[i] = lit.code_length[T.len_sym[i]] + T.len_extra[i];
-        cached6[i] = (cached_varlen[i] << 6) | (63 - (i + kMinMatch));
+        const int32_t varlen = lit.code_length[T.len_sym[i]] + T.len_extra[i];
+        cached6[i] = (varlen << 6) | (63 - (i + kMinMatch));
     }
+    // Offset bit cost by bucketed offset index, hoisted out of the row loop
+    // (the two table indirections per candidate become one).
+    int32_t off_cost[512];
+    for (int32_t oidx = 0; oidx < 512; ++oidx)
+        off_cost[oidx] = off.code_length[T.off_sym[oidx]] + T.off_extra[oidx];
 
     cost[end] = 0;
     for (int32_t i = end - 1; i >= start; --i) {
@@ -347,12 +351,37 @@ static void optimize_matches(const HuffEncoder& lit, const HuffEncoder& off,
         int32_t best_off = 0;
 
         const uint16_t* row = table + (int64_t)i * kMatchesPerPos * 2;
+
+        // The k-dependent part of a truncated candidate's packed value is
+        // shared by every row at this position, so one prefix-min pass over
+        // k = MIN..lmax replaces the per-row downward sweeps: the sweep min
+        // for a row of clamped length L is exactly packed_pm[L].
+        int32_t packed_pm[kLeaveAlone];
+        int32_t lmax = 0;
+        for (int32_t m = 0; m < kMatchesPerPos; ++m) {
+            const int32_t length = row[m * 2];
+            if (length < kMinMatch) break;
+            if (length < kLeaveAlone) {
+                int32_t ml = length;
+                if (i + ml > end) ml = end - i;
+                if (ml > lmax) lmax = ml;
+            }
+        }
+        if (lmax >= kMinMatch) {
+            const int32_t* cost_base = cost + i;
+            int32_t pm = INT32_MAX;
+            for (int32_t k = kMinMatch; k <= lmax; ++k) {
+                const int32_t v = cached6[k - kMinMatch] + (cost_base[k] << 6);
+                pm = pm < v ? pm : v;
+                packed_pm[k] = pm;
+            }
+        }
+
         for (int32_t m = 0; m < kMatchesPerPos; ++m) {
             const int32_t length = row[m * 2];
             if (length < kMinMatch) break;
             const int32_t offset = row[m * 2 + 1];
-            const int32_t oidx = SymbolTables::off_index(offset);
-            const int32_t offset_size = off.code_length[T.off_sym[oidx]] + T.off_extra[oidx];
+            const int32_t offset_size = off_cost[SymbolTables::off_index(offset)];
 
             int32_t match_len = length;
             if (i + match_len > end) match_len = end - i;
@@ -369,13 +398,11 @@ static void optimize_matches(const HuffEncoder& lit, const HuffEncoder& off,
                     best_len = match_len;
                     best_off = offset;
                 }
-            } else {
-                int32_t packed = INT32_MAX;
-                const int32_t* cost_base = cost + i;
-                for (int32_t k = kMinMatch; k <= match_len; ++k) {
-                    int32_t v = cached6[k - kMinMatch] + (cost_base[k] << 6);
-                    packed = packed < v ? packed : v;
-                }
+            } else if (match_len >= kMinMatch) {
+                // (match_len < MIN after block-end clamping means the sweep
+                // range is empty — packed stays INT32_MAX in the reference
+                // formulation and can never win; skip the row.)
+                const int32_t packed = packed_pm[match_len];
                 const int32_t cur = (packed >> 6) + offset_size;
                 if (best_cost > cur) {
                     best_cost = cur;
