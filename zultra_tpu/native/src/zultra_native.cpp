@@ -165,8 +165,20 @@ struct MatchFinder {
             for (int32_t i = 0; i < n; ++i) {
                 int32_t j = phi[i];
                 if (j < 0) { plcp[i] = 0; l = 0; continue; }
-                int32_t cap = n - (i > j ? i : j);
-                while (l < cap && data[i + l] == data[j + l]) ++l;
+                const int32_t cap = n - (i > j ? i : j);
+                // Word-at-a-time extension: compare 8 bytes per step and
+                // locate the first differing byte with a ctz, byte-stepping
+                // only the <8-byte tail at the buffer end.
+                while (l + 8 <= cap) {
+                    uint64_t a, b;
+                    std::memcpy(&a, data + i + l, 8);
+                    std::memcpy(&b, data + j + l, 8);
+                    const uint64_t x = a ^ b;
+                    if (x) { l += (int32_t)(__builtin_ctzll(x) >> 3); break; }
+                    l += 8;
+                }
+                if (l + 8 > cap)
+                    while (l < cap && data[i + l] == data[j + l]) ++l;
                 plcp[i] = l;
                 if (l > 0) --l;
             }
