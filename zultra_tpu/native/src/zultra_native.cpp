@@ -367,27 +367,13 @@ static void optimize_matches(const HuffEncoder& lit, const HuffEncoder& off,
         // The k-dependent part of a truncated candidate's packed value is
         // shared by every row at this position, so one prefix-min pass over
         // k = MIN..lmax replaces the per-row downward sweeps: the sweep min
-        // for a row of clamped length L is exactly packed_pm[L].
+        // for a row of clamped length L is exactly packed_pm[L]. Rows are
+        // emitted longest-first by the walk (interval LCPs strictly decrease
+        // along the ascent; clamping preserves non-increasing order), so the
+        // FIRST row under kLeaveAlone carries the largest short length —
+        // build the prefix-min lazily when that row is reached.
         int32_t packed_pm[kLeaveAlone];
-        int32_t lmax = 0;
-        for (int32_t m = 0; m < kMatchesPerPos; ++m) {
-            const int32_t length = row[m * 2];
-            if (length < kMinMatch) break;
-            if (length < kLeaveAlone) {
-                int32_t ml = length;
-                if (i + ml > end) ml = end - i;
-                if (ml > lmax) lmax = ml;
-            }
-        }
-        if (lmax >= kMinMatch) {
-            const int32_t* cost_base = cost + i;
-            int32_t pm = INT32_MAX;
-            for (int32_t k = kMinMatch; k <= lmax; ++k) {
-                const int32_t v = cached6[k - kMinMatch] + (cost_base[k] << 6);
-                pm = pm < v ? pm : v;
-                packed_pm[k] = pm;
-            }
-        }
+        int32_t pm_len = 0;  // packed_pm is valid for k in [MIN, pm_len]
 
         for (int32_t m = 0; m < kMatchesPerPos; ++m) {
             const int32_t length = row[m * 2];
@@ -414,6 +400,19 @@ static void optimize_matches(const HuffEncoder& lit, const HuffEncoder& off,
                 // (match_len < MIN after block-end clamping means the sweep
                 // range is empty — packed stays INT32_MAX in the reference
                 // formulation and can never win; skip the row.)
+                if (match_len > pm_len) {
+                    // Normally built exactly once (at the first short row);
+                    // the rebuild-from-MIN guard keeps the result correct
+                    // even if a longer short row ever appeared later.
+                    const int32_t* cost_base = cost + i;
+                    int32_t pm = INT32_MAX;
+                    for (int32_t k = kMinMatch; k <= match_len; ++k) {
+                        const int32_t v = cached6[k - kMinMatch] + (cost_base[k] << 6);
+                        pm = pm < v ? pm : v;
+                        packed_pm[k] = pm;
+                    }
+                    pm_len = match_len;
+                }
                 const int32_t packed = packed_pm[match_len];
                 const int32_t cur = (packed >> 6) + offset_size;
                 if (best_cost > cur) {
