@@ -22,15 +22,24 @@ template <typename T>
 void sais_with_sentinel(const T* s, int32_t* sa, int32_t n, int32_t alphabet_size) {
     if (n == 1) { sa[0] = 0; return; }
 
-    std::vector<uint8_t> is_s_type(n);
-    is_s_type[n - 1] = 1;
+    // Symbol + type bit fused into one word so the induce loops issue ONE
+    // data-dependent load per entry instead of two (symbol and type hit
+    // different cache lines as separate arrays). The backward type scan
+    // writes comb directly; there is no standalone type array.
+    using U = typename std::make_unsigned<T>::type;
+    constexpr U kTypeBit = (U)1 << (sizeof(U) * 8 - 1);
+    constexpr U kSymMask = kTypeBit - 1;
+    std::vector<U> comb(n);
+    comb[n - 1] = (U)s[n - 1] | kTypeBit;
     for (int32_t i = n - 2; i >= 0; --i) {
-        if (s[i] < s[i + 1]) is_s_type[i] = 1;
-        else if (s[i] > s[i + 1]) is_s_type[i] = 0;
-        else is_s_type[i] = is_s_type[i + 1];
+        U t;
+        if (s[i] < s[i + 1]) t = kTypeBit;
+        else if (s[i] > s[i + 1]) t = 0;
+        else t = comb[i + 1] & kTypeBit;
+        comb[i] = (U)s[i] | t;
     }
     auto is_lms = [&](int32_t i) {
-        return i > 0 && is_s_type[i] && !is_s_type[i - 1];
+        return i > 0 && (comb[i] & kTypeBit) && !(comb[i - 1] & kTypeBit);
     };
 
     std::vector<int32_t> bucket_count(alphabet_size, 0);
@@ -44,16 +53,6 @@ void sais_with_sentinel(const T* s, int32_t* sa, int32_t n, int32_t alphabet_siz
         int32_t acc = 0;
         for (int32_t c = 0; c < alphabet_size; ++c) { acc += bucket_count[c]; bucket_tails[c] = acc; }
     };
-
-    // Symbol + type bit fused into one word so the induce loops issue ONE
-    // data-dependent load per entry instead of two (s[p-1] and
-    // is_s_type[p-1] hit different cache lines).
-    using U = typename std::make_unsigned<T>::type;
-    constexpr U kTypeBit = (U)1 << (sizeof(U) * 8 - 1);
-    constexpr U kSymMask = kTypeBit - 1;
-    std::vector<U> comb(n);
-    for (int32_t i = 0; i < n; ++i)
-        comb[i] = (U)s[i] | (is_s_type[i] ? kTypeBit : 0);
 
     auto induce = [&](const std::vector<int32_t>& lms_order) {
         std::memset(sa, -1, sizeof(int32_t) * n);
