@@ -107,7 +107,11 @@ void sais_with_sentinel(const T* s, int32_t* sa, int32_t n, int32_t alphabet_siz
     for (int32_t i = 0; i < n; ++i)
         if (is_lms(sa[i])) sorted_lms.push_back(sa[i]);
 
-    std::vector<int32_t> name_of(n, -1);
+    // Two LMS positions are never adjacent (an LMS needs an L before an S),
+    // so names can live at position>>1 — half the footprint, and every slot
+    // read below is written first (sorted_lms covers all LMS positions), so
+    // the buffer needs no initialization.
+    std::vector<int32_t> name_of(n / 2 + 1);
     int32_t name_count = 0;
     int32_t prev = -1;
     for (int32_t k = 0; k < n_lms; ++k) {
@@ -123,12 +127,12 @@ void sais_with_sentinel(const T* s, int32_t* sa, int32_t n, int32_t alphabet_siz
             }
         }
         if (differs) { ++name_count; prev = cur; }
-        name_of[cur] = name_count - 1;
+        name_of[cur >> 1] = name_count - 1;
     }
 
     // Order LMS suffixes.
     std::vector<int32_t> lms_rank(n_lms);
-    for (int32_t k = 0; k < n_lms; ++k) lms_rank[k] = name_of[lms_positions[k]];
+    for (int32_t k = 0; k < n_lms; ++k) lms_rank[k] = name_of[lms_positions[k] >> 1];
 
     std::vector<int32_t> lms_sorted_by_suffix(n_lms);
     if (name_count == n_lms) {
