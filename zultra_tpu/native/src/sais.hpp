@@ -108,9 +108,10 @@ void sais_with_sentinel(const T* s, int32_t* sa, int32_t n, int32_t alphabet_siz
         if (is_lms(sa[i])) sorted_lms.push_back(sa[i]);
 
     // Two LMS positions are never adjacent (an LMS needs an L before an S),
-    // so names can live at position>>1 — half the footprint, and every slot
-    // read below is written first (sorted_lms covers all LMS positions), so
-    // the buffer needs no initialization.
+    // so names can live at position>>1 — half the footprint. (The vector
+    // still value-initializes; only the footprint halving is claimed. Every
+    // slot read below is written first, so the zero-fill is semantically
+    // unnecessary but cheap relative to the induce passes.)
     std::vector<int32_t> name_of(n / 2 + 1);
     int32_t name_count = 0;
     int32_t prev = -1;

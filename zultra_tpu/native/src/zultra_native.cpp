@@ -168,7 +168,12 @@ struct MatchFinder {
                 const int32_t cap = n - (i > j ? i : j);
                 // Word-at-a-time extension: compare 8 bytes per step and
                 // locate the first differing byte with a ctz, byte-stepping
-                // only the <8-byte tail at the buffer end.
+                // only the <8-byte tail at the buffer end. The ctz>>3 step
+                // assumes little-endian byte order (first differing byte is
+                // in the lowest differing bits); guarded below.
+                static_assert(__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__,
+                              "word-at-a-time LCP extension requires a "
+                              "little-endian host (use clz on big-endian)");
                 while (l + 8 <= cap) {
                     uint64_t a, b;
                     std::memcpy(&a, data + i + l, 8);
