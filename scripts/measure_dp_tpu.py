@@ -70,6 +70,45 @@ def main():
     emit(measure="wavefront_dp_128K_e2e_ms", best_ms=round(best * 1e3, 1),
          MB_per_s=round(n / 1e6 / best, 2))
 
+    # Batched DP (VERDICT round-2 item 2): independent blocks vmapped so
+    # the sequential tile loop's per-op latency amortizes over the batch.
+    from zultra_tpu.ops.parse_wavefront import optimize_matches_wavefront_batch
+
+    for B in (4, 8):
+        jobs = []
+        for b in range(B):
+            o = b * n
+            w = np.frombuffer(corpus[o : o + n], dtype=np.uint8)
+            tb = native.build_match_table(w, 0).astype(np.int32)
+            le, oe = prepare_cost_evaluation(w, tb, 0, n)
+            le.estimate_dynamic_codelens()
+            oe.estimate_dynamic_codelens()
+            ll = np.asarray(le.code_length, dtype=np.int32)
+            ll[ll == 0] = 9
+            ol = np.asarray(oe.code_length, dtype=np.int32)
+            ol[ol == 0] = 6
+            jobs.append((ll, ol, w, tb, 0, n))
+        t0 = time.perf_counter()
+        outs = optimize_matches_wavefront_batch(jobs)
+        first = time.perf_counter() - t0
+        ok = all(
+            np.array_equal(
+                o,
+                native.optimize_matches(
+                    j[0], j[1], j[2], j[3].astype(np.uint16), 0, n
+                ).astype(np.int32),
+            )
+            for o, j in zip(outs, jobs)
+        )
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            optimize_matches_wavefront_batch(jobs)
+            best = min(best, time.perf_counter() - t0)
+        emit(measure=f"wavefront_dp_batch{B}_128K", first_s=round(first, 1),
+             best_ms=round(best * 1e3, 1), bitexact=bool(ok),
+             MB_per_s=round(B * n / 1e6 / best, 2))
+
     emit(measure="done")
 
 

@@ -1,0 +1,340 @@
+"""Device entropy estimation: batched Moffat–Katajainen code lengths and
+the dynamic-cost estimator, as used by the block splitter and the
+static/dynamic block choice.
+
+Replaces the semantics of the reference's cost-estimation path
+(reference src/huffman/huffencoder.c:157-270 MK lengths,
+src/blockdeflate.c:577-618 dynamic cost incl. the CL-table RLE walk
+src/huffman/huffencoder.c:446-735) with batched device formulations:
+
+* ``mk_lengths``: MK phases 1-2 are inherently sequential two-pointer /
+  parent-chain walks — they run as ``lax.scan``s over the (tiny, ≤288)
+  symbol axis with the candidate batch as vector lanes, so evaluating
+  2000 histograms costs the same wall clock as one. Phase 3 (depth
+  counting) is NOT scanned: the reference's avail/seen loop has a closed
+  form — internal-depth histogram → leaves_at[d] = 2·internal_at[d-1] −
+  internal_at[d] — evaluated with one scatter and two scans.
+* ``rle_stats``: the CL-table RLE walk has a per-run closed form (runs
+  never interact across boundaries), so histogram and bit-size
+  accounting vectorize over runs with no scan at all; the mask-7/8
+  special cases and the mask bit gates are static parameters.
+* ``dynamic_cost``: symbol cost + 14 header bits + 3·raw_table_size +
+  the mask-31 RLE size + 3, batched.
+
+Exactness: every tie-break (sort by (weight, symbol), strict phase-1
+comparisons, ≤1-used-symbol quirk pinning the 1-bit code to symbol 0)
+is reproduced; tests/test_ops.py checks bit-identity against the host
+HuffmanEncoder on randomized histograms.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..constants import (
+    CODELEN_SYM_ORDER,
+    NCODELENSYMS,
+    NLITERALSYMS,
+    NOFFSETSYMS,
+    REV_MATCHLEN_SYMBOL_BITS,
+    REV_OFFSET_SYMBOL_BITS,
+)
+
+INF32 = jnp.int32(2**30)
+
+
+def mk_lengths(hist: jnp.ndarray) -> jnp.ndarray:
+    """Batched Moffat–Katajainen minimum-redundancy code lengths.
+
+    ``hist``: (B, S) int32 symbol populations. Returns (B, S) int32 code
+    lengths, UNLIMITED (no Kraft clamping), bit-identical to
+    HuffEncoder::estimate_dynamic_codelens (entropy.hpp:100-149)
+    including the ≤1-used-symbol quirk (all lengths 0, length[0] = 1).
+    """
+    B, S = hist.shape
+    used = hist > 0
+    n_used = jnp.sum(used.astype(jnp.int32), axis=1)  # (B,)
+
+    # Sort used symbols by (weight, symbol); unused sink to the end.
+    idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    key = jnp.where(used, hist, INF32)
+    key_sorted, queue = lax.sort((key, idx), dimension=1, num_keys=2)
+    a0 = jnp.where(key_sorted < INF32, key_sorted, 0)  # sorted weights
+
+    # ---- phase 1: two-queue merge, scan over t = 0..S-2 ------------------
+    def pick(a, leaf, internal, t, w_acc):
+        av_leaf = jnp.take_along_axis(a, jnp.clip(leaf, 0, S - 1)[:, None], axis=1)[:, 0]
+        av_int = jnp.take_along_axis(a, jnp.clip(internal, 0, S - 1)[:, None], axis=1)[:, 0]
+        take_int = (leaf >= n_used) | ((internal < t) & (av_int < av_leaf))
+        w_acc = w_acc + jnp.where(take_int, av_int, av_leaf)
+        # a[internal] = t + 1 where an internal node was consumed.
+        upd = jnp.where(take_int, t + 1, av_int)
+        a = jnp.where(
+            (jnp.arange(S)[None, :] == jnp.clip(internal, 0, S - 1)[:, None])
+            & take_int[:, None],
+            upd[:, None],
+            a,
+        )
+        internal = internal + take_int.astype(jnp.int32)
+        leaf = leaf + (~take_int).astype(jnp.int32)
+        return a, leaf, internal, w_acc
+
+    def _dyn_col(a, t):
+        return lax.dynamic_slice(a, (0, t), (B, 1))[:, 0]
+
+    def phase1_step(carry, t):
+        a, leaf, internal = carry
+        active = t < n_used - 1
+        a1, leaf1, internal1, w = pick(a, leaf, internal, t, jnp.zeros(B, jnp.int32))
+        a2, leaf2, internal2, w = pick(a1, leaf1, internal1, t, w)
+        # a[t] = w (same t for every lane).
+        a2 = lax.dynamic_update_slice(
+            a2, jnp.where(active, w, _dyn_col(a2, t))[:, None], (0, t)
+        )
+        a = jnp.where(active[:, None], a2, a)
+        leaf = jnp.where(active, leaf2, leaf)
+        internal = jnp.where(active, internal2, internal)
+        return (a, leaf, internal), None
+
+    (a, _, _), _ = lax.scan(
+        phase1_step,
+        (a0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32)),
+        jnp.arange(S - 1, dtype=jnp.int32),
+    )
+
+    # ---- phase 2: internal depths via the parent chain -------------------
+    # a[n-2] = 0 (root), then a[t] = a[a[t]-1] + 1 backwards. Parents have
+    # larger indices, so a backward scan resolves each in one step.
+    root = jnp.clip(n_used - 2, 0, S - 1)
+    a = jnp.where(jnp.arange(S)[None, :] == root[:, None], 0, a)
+
+    def phase2_step(a, t):
+        active = t <= n_used - 3
+        parent = _dyn_col(a, t) - 1
+        pdepth = jnp.take_along_axis(a, jnp.clip(parent, 0, S - 1)[:, None], axis=1)[:, 0]
+        newv = jnp.where(active, pdepth + 1, _dyn_col(a, t))
+        a = lax.dynamic_update_slice(a, newv[:, None], (0, t))
+        return a, None
+
+    a, _ = lax.scan(
+        phase2_step, a, jnp.arange(S - 3, -1, -1, dtype=jnp.int32)
+    )
+
+    # ---- phase 3: closed form ---------------------------------------------
+    # internal_at[d] over t < n_used-1; avail[d] = 2*internal_at[d-1],
+    # avail[0] = 1; leaves_at[d] = avail[d] - internal_at[d]. Leaf depths
+    # fill positions r = 0.. (deepest leaves go to the smallest weights:
+    # r = n_used-1 - i for sorted leaf i).
+    t_in = jnp.arange(S)[None, :] < (n_used - 1)[:, None]
+    depth_clip = jnp.clip(a, 0, S - 1)
+    internal_at = jnp.zeros((B, S + 1), jnp.int32).at[
+        jnp.arange(B)[:, None], jnp.where(t_in, depth_clip, S)
+    ].add(1)[:, :S]
+    avail = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.int32), 2 * internal_at[:, :-1]], axis=1
+    )
+    leaves_at = avail - internal_at  # (B, S), ≥ 0 rows valid
+    cum_excl = jnp.cumsum(leaves_at, axis=1) - leaves_at  # leaves deeper... start r
+    # Scatter depth d at fill position cum_excl[d] where leaves exist, then
+    # forward-fill (depths ascend with r) with a running max.
+    fill = jnp.full((B, S + 1), -1, jnp.int32).at[
+        jnp.arange(B)[:, None],
+        jnp.where(leaves_at > 0, jnp.clip(cum_excl, 0, S - 1), S),
+    ].max(jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S)))[:, :S]
+    depth_of_r = lax.cummax(fill, axis=1)
+    # sorted-leaf i gets depth_of_r[n_used-1-i]
+    r_of_i = jnp.clip(n_used[:, None] - 1 - jnp.arange(S)[None, :], 0, S - 1)
+    len_sorted = jnp.take_along_axis(depth_of_r, r_of_i, axis=1)
+    len_sorted = jnp.where(jnp.arange(S)[None, :] < n_used[:, None], len_sorted, 0)
+
+    # Map back to symbol order: lengths[queue[i]] = len_sorted[i].
+    lengths = jnp.zeros((B, S), jnp.int32).at[
+        jnp.arange(B)[:, None], queue
+    ].set(len_sorted)
+
+    # ≤1 used symbol: all zero except lengths[0] = 1.
+    few = (n_used <= 1)[:, None]
+    quirk = jnp.where(jnp.arange(S)[None, :] == 0, 1, 0)
+    return jnp.where(few, quirk, lengths)
+
+
+def _run_structure(lens: jnp.ndarray, n_def: jnp.ndarray):
+    """Maximal-run decomposition of each lane's first n_def entries.
+    Returns (is_start, run_len, value) — run_len/value meaningful at
+    starts."""
+    B, L = lens.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = pos < n_def[:, None]
+    prev = jnp.concatenate([jnp.full((B, 1), -1, lens.dtype), lens[:, :-1]], axis=1)
+    is_start = valid & ((pos == 0) | (lens != prev))
+    # Next start position (or n_def) via a reverse running min.
+    nxt_candidate = jnp.where(is_start, pos, INF32)
+    nxt = lax.cummin(
+        jnp.concatenate([nxt_candidate[:, 1:], jnp.full((B, 1), INF32, jnp.int32)], axis=1)[:, ::-1],
+        axis=1,
+    )[:, ::-1]
+    run_end = jnp.minimum(nxt, n_def[:, None])
+    run_len = jnp.where(is_start, run_end - pos, 0)
+    return is_start, run_len, lens
+
+
+def _run_counts(value, r, mask: int):
+    """Per-run RLE emission counts under a static ``mask``; mirrors
+    walk_var_lengths (entropy.hpp:244-291). Returns (n16, n17, n18,
+    lit_count, lit_value) — lit_value is the clamped on_lit argument."""
+    zero = value == 0
+    # --- zero runs --------------------------------------------------------
+    r3 = r >= 3
+    if mask & 4:
+        ge11 = r >= 11
+        q = r // 138
+        rem = r % 138
+        n18 = jnp.where(r3 & ge11, q + (rem >= 11), 0)
+        after18 = jnp.where(r3 & ge11, jnp.where(rem >= 11, 0, rem), r)
+    else:
+        n18 = jnp.zeros_like(r)
+        after18 = r
+    if mask & 2:
+        q10 = after18 // 10
+        rem10 = after18 % 10
+        n17 = jnp.where(r3 & (after18 >= 3), q10 + (rem10 >= 3), 0)
+        after17 = jnp.where(
+            r3 & (after18 >= 3), jnp.where(rem10 >= 3, 0, rem10), after18
+        )
+    else:
+        n17 = jnp.zeros_like(r)
+        after17 = after18
+    z_lit = after17  # leftover zeros emitted singly
+
+    # --- nonzero runs -----------------------------------------------------
+    vclamp = jnp.minimum(value, 15)
+    rp = r - 1
+    if mask & 1:
+        s7 = (rp == 7) if not (mask & 8) else jnp.zeros_like(rp, bool)
+        s8 = (rp == 8) if not (mask & 16) else jnp.zeros_like(rp, bool)
+        q6 = rp // 6
+        rem6 = rp % 6
+        n16_gen = q6 + (rem6 >= 3)
+        left_gen = jnp.where(rem6 < 3, rem6, 0)
+        n16 = jnp.where(s7 | s8, 2, n16_gen)
+        nz_left = jnp.where(s7 | s8, 0, left_gen)
+    else:
+        n16 = jnp.zeros_like(rp)
+        nz_left = rp
+    nz_lit = 1 + nz_left  # first emission + leftover singles
+
+    n16 = jnp.where(zero, 0, n16)
+    n17 = jnp.where(zero, n17, 0)
+    n18 = jnp.where(zero, n18, 0)
+    lit_count = jnp.where(zero, z_lit, nz_lit)
+    lit_value = jnp.where(zero, 0, vclamp)
+    return n16, n17, n18, lit_count, lit_value
+
+
+def rle_histogram(lens: jnp.ndarray, n_def: jnp.ndarray, mask: int) -> jnp.ndarray:
+    """CL-symbol histogram of the RLE walk over each lane's lengths —
+    update_var_lengths_entropy (entropy.hpp:293-299), batched.
+    ``lens``: (B, L) raw (possibly >15) lengths; ``n_def``: (B,)."""
+    B, L = lens.shape
+    is_start, r, v = _run_structure(lens, n_def)
+    n16, n17, n18, lit_c, lit_v = _run_counts(v, jnp.maximum(r, 1), mask)
+    z = jnp.zeros_like(r)
+    n16 = jnp.where(is_start, n16, z)
+    n17 = jnp.where(is_start, n17, z)
+    n18 = jnp.where(is_start, n18, z)
+    lit_c = jnp.where(is_start, lit_c, z)
+    hist = jnp.zeros((B, NCODELENSYMS + 1), jnp.int32)
+    lane = jnp.arange(B)[:, None]
+    hist = hist.at[lane, jnp.where(is_start, jnp.clip(lit_v, 0, 15), NCODELENSYMS)].add(lit_c)
+    hist = hist.at[:, 16].add(jnp.sum(n16, axis=1))
+    hist = hist.at[:, 17].add(jnp.sum(n17, axis=1))
+    hist = hist.at[:, 18].add(jnp.sum(n18, axis=1))
+    return hist[:, :NCODELENSYMS]
+
+
+def rle_bits(lens: jnp.ndarray, n_def: jnp.ndarray, te_lens: jnp.ndarray, mask: int) -> jnp.ndarray:
+    """Bit size of the RLE-coded table under CL code lengths ``te_lens``
+    (B, 19) — get_var_lengths_size (entropy.hpp:301-309), batched."""
+    B, L = lens.shape
+    is_start, r, v = _run_structure(lens, n_def)
+    n16, n17, n18, lit_c, lit_v = _run_counts(v, jnp.maximum(r, 1), mask)
+    z = jnp.zeros_like(r)
+    n16 = jnp.where(is_start, n16, z)
+    n17 = jnp.where(is_start, n17, z)
+    n18 = jnp.where(is_start, n18, z)
+    lit_c = jnp.where(is_start, lit_c, z)
+    lit_len = jnp.take_along_axis(
+        te_lens, jnp.clip(lit_v, 0, 15), axis=1
+    )  # (B, L)
+    bits = jnp.sum(lit_c * lit_len, axis=1)
+    bits = bits + jnp.sum(n16, axis=1) * (te_lens[:, 16] + 2)
+    bits = bits + jnp.sum(n17, axis=1) * (te_lens[:, 17] + 3)
+    bits = bits + jnp.sum(n18, axis=1) * (te_lens[:, 18] + 7)
+    return bits
+
+
+def raw_table_size(te_lens: jnp.ndarray) -> jnp.ndarray:
+    """HuffEncoder::raw_table_size — CL lengths in transmission order,
+    trailing zeros trimmed, minimum 4. (B, 19) -> (B,)."""
+    order = jnp.asarray(np.asarray(CODELEN_SYM_ORDER, dtype=np.int32))
+    in_order = te_lens[:, order]  # (B, 19)
+    posp1 = jnp.arange(1, NCODELENSYMS + 1, dtype=jnp.int32)[None, :]
+    last = jnp.max(jnp.where(in_order != 0, posp1, 0), axis=1)
+    return jnp.maximum(last, 4)
+
+
+def defined_count(lens: jnp.ndarray, min_symbols: int) -> jnp.ndarray:
+    """HuffEncoder::defined_var_lengths_count, batched."""
+    S = lens.shape[1]
+    posp1 = jnp.arange(1, S + 1, dtype=jnp.int32)[None, :]
+    last = jnp.max(jnp.where(lens != 0, posp1, 0), axis=1)
+    return jnp.maximum(last, min_symbols)
+
+
+def dynamic_cost(lit_hist: jnp.ndarray, off_hist: jnp.ndarray) -> jnp.ndarray:
+    """estimated_dynamic_cost_of_entropy, batched: MK lengths from the
+    histograms, symbol cost + dynamic table cost (+3 block header bits).
+    (B, 288), (B, 32) -> (B,) int32 bit costs."""
+    B = lit_hist.shape[0]
+    lit_len = mk_lengths(lit_hist)
+    off_len = mk_lengths(off_hist)
+
+    rev_len = jnp.asarray(np.asarray(REV_MATCHLEN_SYMBOL_BITS, dtype=np.int32))
+    rev_off = jnp.asarray(np.asarray(REV_OFFSET_SYMBOL_BITS, dtype=np.int32))
+    extra_lit = jnp.concatenate(
+        [jnp.zeros(257, jnp.int32), rev_len, jnp.zeros(NLITERALSYMS - 257 - rev_len.shape[0], jnp.int32)]
+    )
+    # The reference's symbol-cost loops cover 0..256 and 257..285 only —
+    # the two invalid literal symbols (286, 287) are excluded
+    # (src/blockdeflate.c:577-581 loop bounds).
+    lit_counted = jnp.where(
+        jnp.arange(NLITERALSYMS)[None, :] < 257 + rev_len.shape[0], lit_hist, 0
+    )
+    cost = jnp.sum(lit_counted * (lit_len + extra_lit[None, :]), axis=1)
+    cost = cost + jnp.sum(off_hist * (off_len + rev_off[None, :]), axis=1)
+
+    n_lit = defined_count(lit_len, 257)
+    n_off = defined_count(off_len, 1)
+    # lens = concat(lit_len[:n_lit], off_len[:n_off]) as a fixed 320 array.
+    L = NLITERALSYMS + NOFFSETSYMS
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    from_off = j >= n_lit[:, None]
+    oidx = jnp.clip(j - n_lit[:, None], 0, NOFFSETSYMS - 1)
+    lens = jnp.where(
+        from_off,
+        jnp.take_along_axis(off_len, oidx, axis=1),
+        jnp.take_along_axis(lit_len, jnp.clip(j, 0, NLITERALSYMS - 1), axis=1),
+    )
+    n_def = n_lit + n_off
+
+    te_hist = rle_histogram(lens, n_def, 7)
+    te_len = mk_lengths(te_hist)
+    cost = cost + 5 + 5 + 4
+    cost = cost + 3 * raw_table_size(te_len)
+    cost = cost + rle_bits(lens, n_def, te_len, 31)
+    return cost + 3

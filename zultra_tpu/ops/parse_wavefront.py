@@ -35,6 +35,7 @@ backends.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +53,7 @@ from ..constants import (
 )
 
 INF = jnp.int32(1 << 27)
-TILE = 4096
+TILE = int(os.environ.get("ZULTRA_WAVEFRONT_TILE", "4096"))
 N_KS = LEAVE_ALONE_MATCH_SIZE - MIN_MATCH_SIZE  # 37 truncation lengths
 
 
@@ -231,6 +232,64 @@ def _dp_wavefront(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
     best0 = (jnp.zeros(n_pad, jnp.int32), jnp.zeros(n_pad, jnp.int32))
     best_len, best_off = lax.fori_loop(0, n_tiles, select_tile, best0)
     return cost[:n_pad], best_len, best_off
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _dp_wavefront_batch(lit_lens, off_lens, windows, mlens, moffs, lengths, n_pad):
+    """Batched wavefront DP: vmap of ``_dp_wavefront`` over independent
+    blocks (VERDICT round-2 item 2 — the sequential tile loop's ~45 small
+    ops per tile amortize over the batch instead of timing out in per-op
+    latency). All leading dims are the batch axis; each lane carries its
+    own code-length tables. The batched while_loop runs until every lane's
+    tile fixpoint converges — lanes that converge early recompute
+    identical values, which is the exactness-preserving form of batching a
+    data-dependent loop."""
+    return jax.vmap(
+        lambda ll, ol, w, ml, mo, ln: _dp_wavefront(ll, ol, w, ml, mo, ln, n_pad)
+    )(lit_lens, off_lens, windows, mlens, moffs, lengths)
+
+
+def optimize_matches_wavefront_batch(jobs):
+    """Run the DP for a batch of independent blocks in one device program.
+
+    ``jobs``: list of (lit_lens, off_lens, window, match_table, start, end)
+    with the same contract as ``optimize_matches_wavefront``. Blocks are
+    padded to the largest job's TILE-multiple so one executable serves the
+    whole batch. Returns a list of (end, 2) int32 best arrays.
+    """
+    if not jobs:
+        return []
+    n_pad = max(-(-(e - s) // TILE) * TILE for (_, _, _, _, s, e) in jobs)
+    B = len(jobs)
+    lit = np.zeros((B, len(np.asarray(jobs[0][0]))), np.int32)
+    off = np.zeros((B, len(np.asarray(jobs[0][1]))), np.int32)
+    wins = np.zeros((B, n_pad), np.uint8)
+    ml = np.zeros((B, n_pad, NMATCHES_PER_OFFSET), np.int32)
+    mo = np.zeros((B, n_pad, NMATCHES_PER_OFFSET), np.int32)
+    lens = np.zeros((B,), np.int32)
+    for b, (ll, ol, window, table, s, e) in enumerate(jobs):
+        length = e - s
+        lit[b] = np.asarray(ll, np.int32)
+        off[b] = np.asarray(ol, np.int32)
+        wins[b, :length] = np.asarray(window[s:e], np.uint8)
+        t = np.asarray(table[s:e], np.int32)
+        ml[b, :length] = t[:, :, 0]
+        mo[b, :length] = t[:, :, 1]
+        lens[b] = length
+    _, best_len, best_off = _dp_wavefront_batch(
+        jnp.asarray(lit), jnp.asarray(off), jnp.asarray(wins),
+        jnp.asarray(ml), jnp.asarray(mo), jnp.asarray(lens), n_pad,
+    )
+    best_len = np.asarray(best_len)
+    best_off = np.asarray(best_off)
+    outs = []
+    for b, (_, _, _, _, s, e) in enumerate(jobs):
+        length = e - s
+        out = np.zeros((e, 2), dtype=np.int32)
+        out[s:e, 0] = best_len[b, :length]
+        out[s:e, 1] = best_off[b, :length]
+        outs.append(out)
+    return outs
 
 
 def optimize_matches_wavefront(lit_lens, off_lens, window, match_table, start, end):
