@@ -51,6 +51,7 @@ def main():
         t0 = time.perf_counter()
         host_best = native.optimize_matches(lit, off, window, table.astype(np.uint16), 0, n)
         best = min(best, time.perf_counter() - t0)
+    host_s = best
     emit(measure="host_dp_128K_ms", best_ms=round(best * 1e3, 1),
          MB_per_s=round(n / 1e6 / best, 2))
 
@@ -108,6 +109,30 @@ def main():
         emit(measure=f"wavefront_dp_batch{B}_128K", first_s=round(first, 1),
              best_ms=round(best * 1e3, 1), bitexact=bool(ok),
              MB_per_s=round(B * n / 1e6 / best, 2))
+
+        # Scan formulation: one backward lax.scan per lane (latency-lean
+        # cost producer) + the shared order-exact selection pass.
+        t0 = time.perf_counter()
+        outs = optimize_matches_wavefront_batch(jobs, method="scan")
+        first = time.perf_counter() - t0
+        ok = all(
+            np.array_equal(
+                o,
+                native.optimize_matches(
+                    j[0], j[1], j[2], j[3].astype(np.uint16), 0, n
+                ).astype(np.int32),
+            )
+            for o, j in zip(outs, jobs)
+        )
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            optimize_matches_wavefront_batch(jobs, method="scan")
+            best = min(best, time.perf_counter() - t0)
+        emit(measure=f"scan_dp_batch{B}_128K", first_s=round(first, 1),
+             best_ms=round(best * 1e3, 1), bitexact=bool(ok),
+             MB_per_s=round(B * n / 1e6 / best, 2),
+             host_x=round((best / B) / max(host_s, 1e-9), 1))
 
     emit(measure="done")
 

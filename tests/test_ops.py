@@ -620,3 +620,132 @@ def test_write_tokens_jax_dynamic_codes():
 
     assert got_bits == bits
     assert got_bytes == bytes(buf[: bw.get_offset()])
+
+
+def test_mk_lengths_jax_equals_host():
+    """Batched device MK code lengths (ops/entropy_jax.mk_lengths) vs the
+    host HuffmanEncoder on randomized histograms across all three
+    alphabets, including 0/1-used-symbol quirks and exponential weights."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zultra_tpu.huffman import HuffmanEncoder
+    from zultra_tpu.ops.entropy_jax import mk_lengths
+
+    rng = np.random.RandomState(77)
+    for S in (19, 32, 288):
+        hists = []
+        for _ in range(12):
+            n_used = int(rng.randint(0, S + 1))
+            h = np.zeros(S, np.int32)
+            if n_used:
+                idxs = rng.choice(S, n_used, replace=False)
+                style = rng.randint(3)
+                if style == 0:
+                    h[idxs] = rng.randint(1, 100, n_used)
+                elif style == 1:
+                    h[idxs] = rng.randint(1, 4, n_used)
+                else:
+                    h[idxs] = (2.0 ** rng.randint(0, 18, n_used)).astype(np.int64)
+            hists.append(h)
+        got = np.asarray(mk_lengths(jnp.asarray(np.stack(hists))))
+        for h, row in zip(hists, got):
+            enc = HuffmanEncoder(S, 15, 0)
+            enc.entropy = [int(x) for x in h]
+            enc.estimate_dynamic_codelens()
+            assert np.array_equal(np.array(enc.code_length[:S]), row), h.tolist()
+
+
+def test_dynamic_cost_jax_equals_host():
+    """Device batched estimated-dynamic-cost (MK + CL-RLE accounting) vs
+    the host _estimated_dynamic_cost_of_entropy."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zultra_tpu.blocks import (
+        _estimated_dynamic_cost_of_entropy,
+        make_block_encoders,
+    )
+    from zultra_tpu.constants import NLITERALSYMS, NOFFSETSYMS
+    from zultra_tpu.ops.entropy_jax import dynamic_cost
+
+    rng = np.random.RandomState(13)
+    B = 24
+    lits = np.zeros((B, NLITERALSYMS), np.int32)
+    offs = np.zeros((B, NOFFSETSYMS), np.int32)
+    refs = np.zeros(B, np.int64)
+    for b in range(B):
+        nl = int(rng.randint(1, 289))
+        no = int(rng.randint(0, 33))
+        lits[b, rng.choice(NLITERALSYMS, nl, replace=False)] = rng.randint(1, 1000, nl)
+        if no:
+            offs[b, rng.choice(NOFFSETSYMS, no, replace=False)] = rng.randint(1, 500, no)
+        lit_e, off_e = make_block_encoders()
+        lit_e.entropy = [int(x) for x in lits[b]]
+        off_e.entropy = [int(x) for x in offs[b]]
+        refs[b] = _estimated_dynamic_cost_of_entropy(lit_e, off_e)
+    got = np.asarray(dynamic_cost(jnp.asarray(lits), jnp.asarray(offs)))
+    assert np.array_equal(got.astype(np.int64), refs)
+
+
+def test_block_split_jax_equals_host():
+    """Device level-synchronous splitter vs the host recursive splitter:
+    bit-identical split points on text, mixed-entropy (multi-split),
+    LZ-heavy, and degenerate-run data, with and without history."""
+    import numpy as np
+
+    from zultra_tpu.blocks import block_split
+    from zultra_tpu.constants import MAX_SPLITS
+    from zultra_tpu.native import build_match_table
+    from zultra_tpu.ops.split_jax import block_split_jax
+
+    rng = np.random.RandomState(3)
+    text = np.frombuffer(
+        (b"the quick brown fox jumps over the lazy dog. " * 2000), np.uint8
+    )[:40000].copy()
+    rand = rng.randint(0, 256, 30000).astype(np.uint8)
+    runs = np.repeat(rng.randint(0, 4, 8000).astype(np.uint8), 5)[:30000]
+    cases = [
+        text,
+        np.concatenate([text[:30000], rand, runs]),  # forces splits
+        np.zeros(40000, np.uint8),
+        text[:6000],  # below the 8 KB minimum
+    ]
+    for ci, data in enumerate(cases):
+        for prev in (0, 128):
+            w = np.concatenate([np.zeros(prev, np.uint8), data]) if prev else data
+            n = len(w)
+            table = build_match_table(w.copy(), prev).astype(np.int32)
+            ref = block_split(w, table, prev, n - prev, MAX_SPLITS)
+            got = block_split_jax(w, table, prev, n - prev)
+            assert ref == got, (ci, prev, ref[:8], got[:8])
+
+
+def test_scan_dp_batch_equals_native():
+    """The batched scan-DP (cost scan + order-exact selection) matches the
+    native DP bit-for-bit on mixed-size blocks."""
+    import numpy as np
+
+    from zultra_tpu.blocks import prepare_cost_evaluation
+    from zultra_tpu.native import build_match_table, optimize_matches as native_dp
+    from zultra_tpu.ops.parse_wavefront import optimize_matches_wavefront_batch
+
+    rng = np.random.RandomState(17)
+    jobs, refs = [], []
+    for b in range(4):
+        n = int(rng.randint(300, 6000))
+        alpha = int(rng.choice([4, 64, 256]))
+        data = rng.randint(0, alpha, n).astype(np.uint8)
+        table = build_match_table(data.copy(), 0).astype(np.int32)
+        lit_e, off_e = prepare_cost_evaluation(data, table, 0, n)
+        lit_e.estimate_dynamic_codelens()
+        off_e.estimate_dynamic_codelens()
+        lit = np.asarray(lit_e.code_length, np.int32)
+        lit[lit == 0] = 9
+        off = np.asarray(off_e.code_length, np.int32)
+        off[off == 0] = 6
+        jobs.append((lit, off, data, table, 0, n))
+        refs.append(native_dp(lit, off, data, table.astype(np.uint16), 0, n).astype(np.int32))
+    outs = optimize_matches_wavefront_batch(jobs, method="scan")
+    for o, r in zip(outs, refs):
+        assert np.array_equal(o, r)

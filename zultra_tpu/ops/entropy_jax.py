@@ -72,14 +72,11 @@ def mk_lengths(hist: jnp.ndarray) -> jnp.ndarray:
         av_int = jnp.take_along_axis(a, jnp.clip(internal, 0, S - 1)[:, None], axis=1)[:, 0]
         take_int = (leaf >= n_used) | ((internal < t) & (av_int < av_leaf))
         w_acc = w_acc + jnp.where(take_int, av_int, av_leaf)
-        # a[internal] = t + 1 where an internal node was consumed.
+        # a[internal] = t + 1 where an internal node was consumed — an
+        # O(B) scatter (writing the unchanged value back when not taken),
+        # not an O(B*S) masked select.
         upd = jnp.where(take_int, t + 1, av_int)
-        a = jnp.where(
-            (jnp.arange(S)[None, :] == jnp.clip(internal, 0, S - 1)[:, None])
-            & take_int[:, None],
-            upd[:, None],
-            a,
-        )
+        a = a.at[jnp.arange(a.shape[0]), jnp.clip(internal, 0, S - 1)].set(upd)
         internal = internal + take_int.astype(jnp.int32)
         leaf = leaf + (~take_int).astype(jnp.int32)
         return a, leaf, internal, w_acc

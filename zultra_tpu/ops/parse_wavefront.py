@@ -63,11 +63,8 @@ def _varlen_tables(lit_lens):
     return len_sym, len_extra, lit_lens[len_sym] + len_extra  # varlen by enc_len
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad",))
-def _dp_wavefront(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
-    """All arrays are padded to n_pad (a TILE multiple); ``length`` is the
-    real block length (traced scalar). Returns (cost, best_len, best_off)
-    of shape (n_pad,) — entries past length are zero."""
+def _prep(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
+    """Shared per-position statics for both DP formulations."""
     _, _, varlen_by_e = _varlen_tables(lit_lens)
     off_sym = jnp.asarray(np.asarray(OFFSET_SYMBOL))
     off_extra = jnp.asarray(np.asarray(OFFSET_EXTRA_BITS))
@@ -101,6 +98,32 @@ def _dp_wavefront(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
 
     ks = jnp.arange(MIN_MATCH_SIZE, LEAVE_ALONE_MATCH_SIZE, dtype=jnp.int32)  # (37,)
     varlen_k = varlen_by_e[ks - MIN_MATCH_SIZE]  # (37,)
+    return (
+        in_block, lit_cost, clamped, osize, long_cost_static, long_step,
+        short_clamped, run_min, n_long, ks, varlen_k,
+    )
+
+
+def _osmin_k(short_clamped, run_min, n_long, ks):
+    """Per-(position, k) cheapest eligible offset cost: prefix-min over
+    the length-sorted shorts with at least k bytes."""
+    cnt_k = jnp.sum(short_clamped[:, :, None] >= ks[None, None, :], axis=1)  # (n, 37)
+    sel = n_long[:, None] + cnt_k - 1
+    osmin = jnp.take_along_axis(
+        run_min, jnp.clip(sel, 0, NMATCHES_PER_OFFSET - 1), axis=1
+    )
+    return jnp.where(cnt_k > 0, osmin, INF)  # (n, 37)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _dp_wavefront(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
+    """All arrays are padded to n_pad (a TILE multiple); ``length`` is the
+    real block length (traced scalar). Returns (cost, best_len, best_off)
+    of shape (n_pad,) — entries past length are zero."""
+    (
+        in_block, lit_cost, clamped, osize, long_cost_static, long_step,
+        short_clamped, run_min, n_long, ks, varlen_k,
+    ) = _prep(lit_lens, off_lens, window, mlens, moffs, length, n_pad)
 
     # Initial costs: final zeros beyond the block, INF inside it.
     cost0 = jnp.where(in_block, INF, 0)
@@ -120,12 +143,7 @@ def _dp_wavefront(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
         lstep_t = lax.dynamic_slice(long_step, (t0, 0), (TILE, NMATCHES_PER_OFFSET))
 
         # Per-k eligible-short count and its cheapest offset (prefix-min).
-        cnt_k = jnp.sum(sc_t[:, :, None] >= ks[None, None, :], axis=1)  # (T, 37)
-        sel = nl_t[:, None] + cnt_k - 1  # index into run_min (longs are INF there)
-        osmin_k = jnp.take_along_axis(
-            rm_t, jnp.clip(sel, 0, NMATCHES_PER_OFFSET - 1), axis=1
-        )
-        osmin_k = jnp.where(cnt_k > 0, osmin_k, INF)  # (T, 37)
+        osmin_k = _osmin_k(sc_t, rm_t, nl_t, ks)  # (T, 37)
 
         P = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(lit_t)])  # (T+1,)
         rel = jnp.arange(TILE, dtype=jnp.int32)
@@ -169,7 +187,20 @@ def _dp_wavefront(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
 
     cost = lax.fori_loop(0, n_tiles, tile_body, cost)
 
-    # ---- selection pass: reference scan order against converged costs ----
+    best_len, best_off = _select_pass(
+        cost, lit_cost, mlens, moffs, osize, clamped, long_cost_static,
+        long_step, in_block, ks, varlen_k, n_pad,
+    )
+    return cost[:n_pad], best_len, best_off
+
+
+def _select_pass(cost, lit_cost, mlens, moffs, osize, clamped,
+                 long_cost_static, long_step, in_block, ks, varlen_k, n_pad):
+    """Order-exact (length, offset) selection from converged costs —
+    reproduces the reference's strict-improvement scan per position.
+    ``cost`` is the extended array (n_pad + TILE + 260)."""
+    n_tiles = n_pad // TILE
+
     def select_tile(t_rev, best):
         best_len_all, best_off_all = best
         t0 = t_rev * TILE
@@ -230,8 +261,68 @@ def _dp_wavefront(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
         return best_len_all, best_off_all
 
     best0 = (jnp.zeros(n_pad, jnp.int32), jnp.zeros(n_pad, jnp.int32))
-    best_len, best_off = lax.fori_loop(0, n_tiles, select_tile, best0)
-    return cost[:n_pad], best_len, best_off
+    return lax.fori_loop(0, n_tiles, select_tile, best0)
+
+
+def _dp_scan_cost(lit_cost, osmin_k, long_cost_static, long_step,
+                  length, varlen_k, n_pad):
+    """Exact backward cost DP as ONE lax.scan over positions — the
+    latency-lean cost producer (VERDICT round-2 item 2): ~9 vector ops
+    per step via the per-k cheapest-offset prefix-min (osmin_k), with
+    the order-exact (length, offset) choices reconstructed afterwards by
+    ``_select_pass`` from the converged costs. Scan steps cost ~2 µs on
+    the v5e regardless of batch width, so batching blocks as vmap lanes
+    multiplies throughput at constant wall clock."""
+    RINGN = 259
+
+    def step(ring, inp):
+        lcost, osmin, lcs, lstep, pos = inp
+        # shorts: cost[pos+k] = ring[k-1], k = 3..39 → static slice.
+        short = jnp.min(
+            varlen_k + osmin + lax.slice_in_dim(ring, MIN_MATCH_SIZE - 1,
+                                                LEAVE_ALONE_MATCH_SIZE - 1, axis=0),
+            axis=-1,
+        )
+        long_ = jnp.min(lcs + ring[jnp.clip(lstep - 1, 0, RINGN - 1)], axis=-1)
+        best = jnp.minimum(lcost + ring[0], jnp.minimum(short, long_))
+        best = jnp.where(pos < length, best, 0)
+        ring = jnp.concatenate([best[None], ring[:-1]])
+        return ring, best
+
+    ring0 = jnp.zeros(RINGN, jnp.int32)
+    pos_rev = jnp.arange(n_pad - 1, -1, -1, dtype=jnp.int32)
+    xs = (
+        lit_cost[::-1],
+        osmin_k[::-1].astype(jnp.int32),
+        long_cost_static[::-1],
+        long_step[::-1],
+        pos_rev,
+    )
+    _, cost_rev = lax.scan(step, ring0, xs)
+    return cost_rev[::-1]
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _dp_scan_batch(lit_lens, off_lens, windows, mlens, moffs, lengths, n_pad):
+    """Batched scan DP + order-exact selection; same contract as
+    ``_dp_wavefront_batch``."""
+    def one(ll, ol, w, ml, mo, ln):
+        (
+            in_block, lit_cost, clamped, osize, long_cost_static, long_step,
+            short_clamped, run_min, n_long, ks, varlen_k,
+        ) = _prep(ll, ol, w, ml, mo, ln, n_pad)
+        osmin = _osmin_k(short_clamped, run_min, n_long, ks)
+        cost = _dp_scan_cost(
+            lit_cost, osmin, long_cost_static, long_step, ln, varlen_k, n_pad
+        )
+        cost_ext = jnp.concatenate([cost, jnp.zeros(TILE + 260, jnp.int32)])
+        best_len, best_off = _select_pass(
+            cost_ext, lit_cost, ml, mo, osize, clamped, long_cost_static,
+            long_step, in_block, ks, varlen_k, n_pad,
+        )
+        return cost, best_len, best_off
+
+    return jax.vmap(one)(lit_lens, off_lens, windows, mlens, moffs, lengths)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad",))
@@ -249,13 +340,15 @@ def _dp_wavefront_batch(lit_lens, off_lens, windows, mlens, moffs, lengths, n_pa
     )(lit_lens, off_lens, windows, mlens, moffs, lengths)
 
 
-def optimize_matches_wavefront_batch(jobs):
+def optimize_matches_wavefront_batch(jobs, method: str = "wavefront"):
     """Run the DP for a batch of independent blocks in one device program.
 
     ``jobs``: list of (lit_lens, off_lens, window, match_table, start, end)
     with the same contract as ``optimize_matches_wavefront``. Blocks are
     padded to the largest job's TILE-multiple so one executable serves the
-    whole batch. Returns a list of (end, 2) int32 best arrays.
+    whole batch. ``method``: 'wavefront' (tile fixpoint) or 'scan' (one
+    backward lax.scan per lane — the latency-lean form; see
+    ``_dp_scan_cost``). Returns a list of (end, 2) int32 best arrays.
     """
     if not jobs:
         return []
@@ -276,7 +369,8 @@ def optimize_matches_wavefront_batch(jobs):
         ml[b, :length] = t[:, :, 0]
         mo[b, :length] = t[:, :, 1]
         lens[b] = length
-    _, best_len, best_off = _dp_wavefront_batch(
+    fn = _dp_scan_batch if method == "scan" else _dp_wavefront_batch
+    _, best_len, best_off = fn(
         jnp.asarray(lit), jnp.asarray(off), jnp.asarray(wins),
         jnp.asarray(ml), jnp.asarray(mo), jnp.asarray(lens), n_pad,
     )
