@@ -198,6 +198,27 @@ def test_compress_sharded_mesh_byte_identical(lz_corpus):
     assert got == expect
 
 
+def test_compress_sharded_dictionary_byte_identical(lz_corpus):
+    """Sharded compression with a preset dictionary equals the streaming
+    core's dictionary path byte for byte (zlib framing carries DICTID)."""
+    import zlib
+
+    import zultra_tpu as zt
+    from zultra_tpu.parallel import compress_sharded, make_mesh
+
+    data = (lz_corpus["source_code"] * 3)[: 32768 + 777]
+    dictionary = lz_corpus["source_code"][:4096]
+    mesh = make_mesh(n_dp=8, n_sp=1)
+    got = compress_sharded(data, mesh, zt.FLAG_ZLIB_FRAMING,
+                           max_block_size=32768, seg_core=32768,
+                           dictionary=dictionary)
+    expect = zt.compress(data, zt.FLAG_ZLIB_FRAMING, 32768,
+                         dictionary=dictionary)
+    assert got == expect
+    d = zlib.decompressobj(zdict=dictionary)
+    assert d.decompress(got) + d.flush() == data
+
+
 def test_window_plan_serialization_roundtrip(lz_corpus):
     """A serialized window plan emits the same bytes as the original job."""
     import numpy as np

@@ -267,36 +267,42 @@ def _select_pass(cost, lit_cost, mlens, moffs, osize, clamped,
 def _dp_scan_cost(lit_cost, osmin_k, long_cost_static, long_step,
                   length, varlen_k, n_pad):
     """Exact backward cost DP as ONE lax.scan over positions — the
-    latency-lean cost producer (VERDICT round-2 item 2): ~9 vector ops
+    latency-lean cost producer (VERDICT round-2 item 2): ~7 vector ops
     per step via the per-k cheapest-offset prefix-min (osmin_k), with
     the order-exact (length, offset) choices reconstructed afterwards by
-    ``_select_pass`` from the converged costs. Scan steps cost ~2 µs on
-    the v5e regardless of batch width, so batching blocks as vmap lanes
-    multiplies throughput at constant wall clock."""
+    ``_select_pass`` from the converged costs. Step cost on the v5e is
+    near-independent of batch width, so batching blocks as vmap lanes
+    multiplies throughput at close to constant wall clock.
+
+    Beyond-block positions need no masking: lit_cost is 0 there (_prep)
+    and the ring carries zeros forward, so best = min(0+0, ·) = 0, which
+    is exactly the DP's boundary condition."""
     RINGN = 259
 
+    # Fold the per-k length cost into the offset prefix-min, and pre-clip
+    # the long-step ring indices — three fewer ops inside the step.
+    short_static = jnp.minimum(varlen_k[None, :] + osmin_k, INF)
+    lstep_idx = jnp.clip(long_step - 1, 0, RINGN - 1)
+
     def step(ring, inp):
-        lcost, osmin, lcs, lstep, pos = inp
+        lcost, sstat, lcs, lidx = inp
         # shorts: cost[pos+k] = ring[k-1], k = 3..39 → static slice.
         short = jnp.min(
-            varlen_k + osmin + lax.slice_in_dim(ring, MIN_MATCH_SIZE - 1,
-                                                LEAVE_ALONE_MATCH_SIZE - 1, axis=0),
+            sstat + lax.slice_in_dim(ring, MIN_MATCH_SIZE - 1,
+                                     LEAVE_ALONE_MATCH_SIZE - 1, axis=0),
             axis=-1,
         )
-        long_ = jnp.min(lcs + ring[jnp.clip(lstep - 1, 0, RINGN - 1)], axis=-1)
+        long_ = jnp.min(lcs + ring[lidx], axis=-1)
         best = jnp.minimum(lcost + ring[0], jnp.minimum(short, long_))
-        best = jnp.where(pos < length, best, 0)
         ring = jnp.concatenate([best[None], ring[:-1]])
         return ring, best
 
     ring0 = jnp.zeros(RINGN, jnp.int32)
-    pos_rev = jnp.arange(n_pad - 1, -1, -1, dtype=jnp.int32)
     xs = (
         lit_cost[::-1],
-        osmin_k[::-1].astype(jnp.int32),
+        short_static[::-1],
         long_cost_static[::-1],
-        long_step[::-1],
-        pos_rev,
+        lstep_idx[::-1],
     )
     _, cost_rev = lax.scan(step, ring0, xs)
     return cost_rev[::-1]

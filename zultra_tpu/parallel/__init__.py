@@ -131,6 +131,7 @@ def compress_sharded(
     max_block_size: int = 0,
     seg_core: int = 65536,
     budget_factor: int = 16,
+    dictionary: bytes | None = None,
 ) -> bytes:
     """Compress one stream with the match stage sharded across the mesh:
     the corpus is cut into the stream's windows, each window into
@@ -148,22 +149,29 @@ def compress_sharded(
 
     max_block_size = clamp_block_size(max_block_size)
     arr = np.frombuffer(data, dtype=np.uint8)
-    spans = window_spans(len(data), max_block_size)
+    # Preset dictionary: the last ≤32 KB preload as fake history before the
+    # first window, exactly like the streaming core (stream.py:95-104) —
+    # equivalent to prepending the dictionary bytes and shifting spans,
+    # with checksum/ISIZE still over the real data only.
+    dict_tail = bytes(dictionary or b"")[-32768:]
+    d = len(dict_tail)
+    full = np.concatenate([np.frombuffer(dict_tail, np.uint8), arr]) if d else arr
+    spans = [(lo + d, hi + d) for lo, hi in window_spans(len(data), max_block_size)]
 
     tables = match_tables_for_spans(
-        arr, spans, seg_core=seg_core, budget_factor=budget_factor, mesh=mesh
+        full, spans, seg_core=seg_core, budget_factor=budget_factor, mesh=mesh
     )
 
     lib = native.get_lib()
     out = bytearray()
-    out += frame.encode_header(flags, None)
+    out += frame.encode_header(flags, dict_tail if d else None)
     checksum = frame.update_checksum(frame.init_checksum(flags), arr, flags)
 
     buf = bytearray(memory_bound(max_block_size, flags, max_block_size))
     bits_data, bits_count = 0, 0
     for w, (w_lo, w_hi) in enumerate(spans):
         prev = min(32768, w_lo)
-        window = np.ascontiguousarray(arr[w_lo - prev : w_hi])
+        window = np.ascontiguousarray(full[w_lo - prev : w_hi])
         handle = lib.zn_window_begin_with_table(
             window, prev, w_hi - w_lo, 0,
             np.ascontiguousarray(tables[w].astype(np.uint16)),
