@@ -749,3 +749,202 @@ def test_scan_dp_batch_equals_native():
     outs = optimize_matches_wavefront_batch(jobs, method="scan")
     for o, r in zip(outs, refs):
         assert np.array_equal(o, r)
+
+
+def _random_hists(rng, S, n_lanes, force_deep=False):
+    hists = []
+    for lane in range(n_lanes):
+        h = np.zeros(S, np.int64)
+        if force_deep and lane % 3 == 0:
+            # Fibonacci-ish counts force unlimited MK depths > 15 so the
+            # Kraft repair path actually runs.
+            k = int(rng.randint(min(12, S - 1), min(40, S)))
+            a, b = 1, 1
+            idxs = rng.choice(S, k, replace=False)
+            for i in idxs:
+                h[i] = a
+                a, b = b, a + b
+        else:
+            n_used = int(rng.randint(0, S + 1))
+            if n_used:
+                idxs = rng.choice(S, n_used, replace=False)
+                style = rng.randint(3)
+                if style == 0:
+                    h[idxs] = rng.randint(1, 100, n_used)
+                elif style == 1:
+                    h[idxs] = rng.randint(1, 4, n_used)
+                else:
+                    h[idxs] = (2.0 ** rng.randint(0, 16, n_used)).astype(np.int64)
+        hists.append(h.astype(np.int32))
+    return hists
+
+
+def test_limited_lengths_and_codewords_equal_host():
+    """Device Kraft-limited lengths + canonical codewords vs
+    HuffmanEncoder.build_dynamic_codewords across alphabets, including
+    lanes whose unlimited MK depth exceeds the limit (repair path)."""
+    import jax.numpy as jnp
+
+    from zultra_tpu.huffman import HuffmanEncoder
+    from zultra_tpu.ops.entropy_jax import (
+        build_lengths,
+        canonical_codewords,
+        mk_lengths,
+    )
+
+    rng = np.random.RandomState(101)
+    for S, max_len in ((19, 7), (32, 15), (288, 15)):
+        hists = _random_hists(rng, S, 18, force_deep=True)
+        H = jnp.asarray(np.stack(hists))
+        lens = np.asarray(build_lengths(H, max_len))
+        cws = np.asarray(canonical_codewords(jnp.asarray(lens)))
+        # sanity: at least one lane hit the repair path
+        assert np.any(np.asarray(mk_lengths(H)) > max_len), (S, max_len)
+        for h, lrow, crow in zip(hists, lens, cws):
+            enc = HuffmanEncoder(S, max_len, 0)
+            enc.entropy = [int(x) for x in h]
+            enc.build_dynamic_codewords()
+            assert np.array_equal(np.array(enc.code_length[:S]), lrow), h.tolist()
+            exp_cw = np.array(enc.code_word[:S])
+            exp_cw[np.array(enc.code_length[:S]) == 0] = 0
+            got_cw = crow.copy()
+            assert np.array_equal(exp_cw, got_cw), h.tolist()
+
+
+def test_optimize_for_rle_jax_equals_host():
+    """Device Zopfli histogram rewrite vs the host reference, including
+    all-zero, trailing-zero, and long-run shapes."""
+    import jax.numpy as jnp
+
+    from zultra_tpu.huffman import optimize_histogram_for_rle
+    from zultra_tpu.ops.entropy_jax import optimize_for_rle_jax
+
+    rng = np.random.RandomState(55)
+    for S in (32, 288):
+        lanes = []
+        for t in range(24):
+            h = np.zeros(S, np.int64)
+            style = t % 4
+            if style == 0:
+                k = rng.randint(1, S)
+                h[:k] = rng.randint(0, 50, k)
+            elif style == 1:
+                # plateaus of similar values -> collapse path
+                v = rng.randint(1, 30)
+                k = rng.randint(8, S)
+                h[:k] = v + rng.randint(-3, 4, k)
+                h = np.maximum(h, 0)
+            elif style == 2:
+                # exact runs (good_for_rle path)
+                i = 0
+                while i < S:
+                    run = rng.randint(1, 12)
+                    h[i : i + run] = rng.randint(0, 6)
+                    i += run
+            # style 3: all zeros
+            lanes.append(h.astype(np.int32))
+        got = np.asarray(optimize_for_rle_jax(jnp.asarray(np.stack(lanes))))
+        for h, row in zip(lanes, got):
+            exp = [int(x) for x in h]
+            optimize_histogram_for_rle(S, exp)
+            assert np.array_equal(np.array(exp), row), h.tolist()
+
+
+def test_static_cost_and_given_cost_equal_host():
+    """Device static cost and given-lengths dynamic cost vs blocks.py."""
+    import jax.numpy as jnp
+
+    from zultra_tpu.blocks import (
+        evaluate_dynamic_cost,
+        evaluate_static_cost,
+        make_block_encoders,
+    )
+    from zultra_tpu.constants import NLITERALSYMS, NOFFSETSYMS
+    from zultra_tpu.ops.entropy_jax import dynamic_cost_given, static_cost
+
+    rng = np.random.RandomState(9)
+    lit_h = np.stack(_random_hists(rng, NLITERALSYMS, 10))
+    off_h = np.stack(_random_hists(rng, NOFFSETSYMS, 10))
+    lit_h[:, 256] = np.maximum(lit_h[:, 256], 1)  # EOD always present
+    got_static = np.asarray(static_cost(jnp.asarray(lit_h), jnp.asarray(off_h)))
+
+    lit_lens, off_lens, exp_static, exp_dyn = [], [], [], []
+    for b in range(10):
+        le, oe = make_block_encoders()
+        le.entropy = [int(x) for x in lit_h[b]]
+        oe.entropy = [int(x) for x in off_h[b]]
+        exp_static.append(evaluate_static_cost(le, oe))
+        le.build_dynamic_codewords()
+        oe.build_dynamic_codewords()
+        exp_dyn.append(evaluate_dynamic_cost(le, oe))
+        lit_lens.append(np.array(le.code_length[:NLITERALSYMS], np.int32))
+        off_lens.append(np.array(oe.code_length[:NOFFSETSYMS], np.int32))
+    assert np.array_equal(got_static, np.array(exp_static))
+
+    got_dyn = np.asarray(
+        dynamic_cost_given(
+            jnp.asarray(lit_h), jnp.asarray(off_h),
+            jnp.asarray(np.stack(lit_lens)), jnp.asarray(np.stack(off_lens)),
+        )
+    )
+    assert np.array_equal(got_dyn, np.array(exp_dyn))
+
+
+def test_mask_search_jax_equals_host():
+    """Device CL-mask search (17 masks, later wins ties) vs the host loop
+    in blocks.block_deflate."""
+    import jax.numpy as jnp
+
+    from zultra_tpu.constants import MAX_CODES_MASK, NCODELENSYMS, NLITERALSYMS, NOFFSETSYMS
+    from zultra_tpu.huffman import (
+        get_var_lengths_size,
+        make_tables_encoder,
+        update_var_lengths_entropy,
+    )
+    from zultra_tpu.huffman import HuffmanEncoder
+    from zultra_tpu.ops.entropy_jax import mask_search
+
+    rng = np.random.RandomState(23)
+    lit_lens, off_lens = [], []
+    for b in range(8):
+        le = HuffmanEncoder(NLITERALSYMS, 15, 0)
+        oe = HuffmanEncoder(NOFFSETSYMS, 15, 0)
+        le.entropy = [int(x) for x in _random_hists(rng, NLITERALSYMS, 1)[0]]
+        oe.entropy = [int(x) for x in _random_hists(rng, NOFFSETSYMS, 1)[0]]
+        le.entropy[256] = max(le.entropy[256], 1)
+        le.build_dynamic_codewords()
+        oe.build_dynamic_codewords()
+        lit_lens.append(np.array(le.code_length[:NLITERALSYMS], np.int32))
+        off_lens.append(np.array(oe.code_length[:NOFFSETSYMS], np.int32))
+    got_mask, got_cl, got_nlit, got_noff = mask_search(
+        jnp.asarray(np.stack(lit_lens)), jnp.asarray(np.stack(off_lens))
+    )
+    got_mask, got_cl = np.asarray(got_mask), np.asarray(got_cl)
+    got_nlit, got_noff = np.asarray(got_nlit), np.asarray(got_noff)
+
+    for b in range(8):
+        le_len, oe_len = lit_lens[b], off_lens[b]
+        n_lit = NLITERALSYMS
+        while n_lit > 257 and le_len[n_lit - 1] == 0:
+            n_lit -= 1
+        n_off = NOFFSETSYMS
+        while n_off > 1 and oe_len[n_off - 1] == 0:
+            n_off -= 1
+        code_lengths = [int(x) for x in le_len[:n_lit]] + [int(x) for x in oe_len[:n_off]]
+        te = make_tables_encoder()
+        best_cost, best_mask = 0, -1
+        mask = 0
+        while mask <= MAX_CODES_MASK:
+            update_var_lengths_entropy(te, n_lit + n_off, code_lengths, mask)
+            te.build_dynamic_codewords()
+            cur = get_var_lengths_size(te, n_lit + n_off, code_lengths, mask)
+            if best_mask == -1 or best_cost >= cur:
+                best_mask, best_cost = mask, cur
+            for i in range(NCODELENSYMS):
+                te.entropy[i] = 0
+            mask = mask + 2 if mask >= 7 else mask + 1
+        update_var_lengths_entropy(te, n_lit + n_off, code_lengths, best_mask)
+        te.build_dynamic_codewords()
+        assert got_nlit[b] == n_lit and got_noff[b] == n_off
+        assert got_mask[b] == best_mask, (b, got_mask[b], best_mask)
+        assert np.array_equal(got_cl[b], np.array(te.code_length[:NCODELENSYMS])), b

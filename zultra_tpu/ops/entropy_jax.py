@@ -293,6 +293,324 @@ def defined_count(lens: jnp.ndarray, min_symbols: int) -> jnp.ndarray:
     return jnp.maximum(last, min_symbols)
 
 
+def _floor_log2(x):
+    """floor(log2(x)) for x >= 1 (int32)."""
+    return 31 - lax.clz(jnp.maximum(x, 1))
+
+
+def limited_lengths(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """Kraft-sum length limiting — the repair half of
+    build_dynamic_codewords (entropy.hpp:151-200; reference
+    huffencoder.c:279-346), batched.
+
+    ``lengths``: (B, S) int32 *unlimited* MK code lengths (zeros =
+    unused). Returns (B, S) limited lengths, bit-identical to the host:
+    clamp overlong codes, lengthen the rarest symbols (reverse
+    (length, symbol) order) until the Kraft sum fits, then re-shorten
+    the most frequent ones while room remains. The sequential inner
+    ``while`` loops collapse to closed forms: k increments starting at
+    length l change the Kraft sum by (full>>l) - (full>>(l+k)), so the
+    stopping length is a floor_log2 of the remaining surplus; k
+    decrements add (full>>l)·(2^k - 1), so the step count is a
+    floor_log2 of the remaining headroom. The symbol sweep itself is a
+    scan carrying the Kraft sum."""
+    B, S = lengths.shape
+    full = jnp.int32(1 << max_len)
+    used = lengths > 0
+    over = jnp.max(lengths, axis=1) > max_len  # (B,) lanes needing repair
+
+    # Sorted (length, symbol) ascending over used symbols; unused sink.
+    key = jnp.where(used, lengths * S + jnp.arange(S)[None, :], INF32)
+    _, order = lax.sort((key, jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))),
+                        dimension=1, num_keys=1)
+    n_used = jnp.sum(used.astype(jnp.int32), axis=1)
+
+    lane = jnp.arange(B)
+    lens_sorted = jnp.take_along_axis(lengths, order, axis=1)
+    clamped = jnp.minimum(lens_sorted, max_len)
+    in_used = jnp.arange(S)[None, :] < n_used[:, None]
+    kraft0 = jnp.sum(jnp.where(in_used, full >> clamped, 0), axis=1)
+
+    # Phase A: lengthen rarest (descending sorted position) while
+    # kraft > full.
+    def lengthen(carry, p):
+        kraft, lens = carry
+        l = lens[lane, p]
+        active = (p < n_used) & (kraft > full) & (l < max_len)
+        r = (full >> l) - (kraft - full)
+        l_new = jnp.where(
+            r <= 0, max_len, jnp.maximum(l, max_len - _floor_log2(r))
+        )
+        l_new = jnp.where(active, jnp.minimum(l_new, max_len), l)
+        kraft = kraft - (full >> l) + (full >> l_new)
+        lens = lens.at[lane, p].set(l_new)
+        return (kraft, lens), None
+
+    (kraft, lens_a), _ = lax.scan(
+        lengthen, (kraft0, clamped), jnp.arange(S - 1, -1, -1, dtype=jnp.int32)
+    )
+
+    # Phase B: re-shorten most frequent (ascending sorted position)
+    # while kraft + (full >> l) <= full.
+    def shorten(carry, p):
+        kraft, lens = carry
+        l = lens[lane, p]
+        active = p < n_used
+        u = full >> l
+        m = jnp.maximum(full - kraft, 0) // jnp.maximum(u, 1)
+        d = jnp.where(active, _floor_log2(m + 1), 0)
+        d = jnp.minimum(d, jnp.maximum(l - 1, 0))  # never reach length 0
+        kraft = kraft + u * ((1 << d) - 1)
+        lens = lens.at[lane, p].set(l - d)
+        return (kraft, lens), None
+
+    (_, lens_b), _ = lax.scan(
+        shorten, (kraft, lens_a), jnp.arange(S, dtype=jnp.int32)
+    )
+
+    # Scatter back to symbol order; untouched lanes keep the input.
+    repaired = jnp.zeros((B, S), jnp.int32).at[lane[:, None], order].set(
+        jnp.where(in_used, lens_b, 0)
+    )
+    return jnp.where(over[:, None], repaired, lengths)
+
+
+def build_lengths(hist: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """MK lengths + Kraft limiting — the length half of
+    build_dynamic_codewords, batched."""
+    return limited_lengths(mk_lengths(hist), max_len)
+
+
+_REV_S = [
+    (0x5555, 0xAAAA, 1), (0x3333, 0xCCCC, 2), (0x0F0F, 0xF0F0, 4), (0x00FF, 0xFF00, 8),
+]
+
+
+def _reverse_bits16_jnp(word, nbits):
+    w = word
+    for lo, hi, sh in _REV_S:
+        w = ((w & lo) << sh) | ((w & hi) >> sh)
+    return jnp.where(nbits > 0, w >> (16 - jnp.minimum(nbits, 16)), 0)
+
+
+def canonical_codewords(lengths: jnp.ndarray) -> jnp.ndarray:
+    """Canonical bit-reversed codewords from (limited) code lengths —
+    HuffEncoder::issue_canonical over (length, symbol) order
+    (entropy.hpp:202-219), batched. Zero-length symbols get codeword 0.
+
+    The sequential word walk equals standard canonical assignment:
+    next_code[d] = (next_code[d-1] + count[d-1]) << 1, codeword =
+    reverse(next_code[len] + rank_within_len)."""
+    B, S = lengths.shape
+    used = lengths > 0
+    MAXL = 16  # code lengths are <= 15 everywhere
+    lane = jnp.arange(B)[:, None]
+    cnt = jnp.zeros((B, MAXL + 1), jnp.int32).at[
+        lane, jnp.where(used, jnp.clip(lengths, 0, MAXL), 0)
+    ].add(jnp.where(used, 1, 0))
+    # next_code[d] = (next_code[d-1] + cnt[d-1]) << 1, next_code[0] = 0.
+    def nc_step(code, d):
+        code = (code + cnt[:, d - 1]) << 1
+        return code, code
+    _, nc = lax.scan(nc_step, jnp.zeros(B, jnp.int32),
+                     jnp.arange(1, MAXL + 1, dtype=jnp.int32))
+    next_code = jnp.concatenate([jnp.zeros((1, B), jnp.int32), nc]).T  # (B, 17)
+
+    # rank within length = sorted position - cumulative count of shorter.
+    key = jnp.where(used, lengths * S + jnp.arange(S)[None, :], INF32)
+    _, order = lax.sort(
+        (key, jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))),
+        dimension=1, num_keys=1,
+    )
+    pos = jnp.zeros((B, S), jnp.int32).at[lane, order].set(
+        jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    )
+    cum_shorter = jnp.cumsum(cnt, axis=1) - cnt  # (B, 17): count of lengths < d
+    rank = pos - jnp.take_along_axis(cum_shorter, jnp.clip(lengths, 0, MAXL), axis=1)
+    word = jnp.take_along_axis(next_code, jnp.clip(lengths, 0, MAXL), axis=1) + rank
+    return jnp.where(used, _reverse_bits16_jnp(word, lengths), 0)
+
+
+def optimize_for_rle_jax(counts: jnp.ndarray) -> jnp.ndarray:
+    """Zopfli-style histogram rewrite — optimize_histogram_for_rle
+    (huffman.py:367-419; reference huffutils.c:34-114), batched over
+    lanes. All decisions read the ORIGINAL counts (writes only ever land
+    behind the cursor), so the sequential pass splits into a decision
+    scan plus one vectorized segment rewrite."""
+    B, L = counts.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    # 1) effective length: trailing zeros stay untouched.
+    eff = jnp.max(jnp.where(counts != 0, pos + 1, 0), axis=1)  # (B,)
+    in_len = pos < eff[:, None]
+
+    # 2) good_for_rle: zero runs >= 5, nonzero runs >= 7 (within eff).
+    prev = jnp.concatenate([jnp.full((B, 1), -1, counts.dtype), counts[:, :-1]], axis=1)
+    is_start = in_len & ((pos == 0) | (counts != prev))
+    nxt_start = jnp.where(is_start, pos, INF32)
+    nxt = lax.cummin(
+        jnp.concatenate([nxt_start[:, 1:], jnp.full((B, 1), INF32, jnp.int32)], axis=1)[:, ::-1],
+        axis=1,
+    )[:, ::-1]
+    run_len = jnp.minimum(nxt, eff[:, None]) - pos  # valid at starts
+    good_start = is_start & jnp.where(
+        counts == 0, run_len >= 5, run_len >= 7
+    )
+    # Propagate the start's goodness across its run (forward fill).
+    start_pos = lax.cummax(jnp.where(is_start, pos, -1), axis=1)
+    good_at = jnp.zeros((B, L), jnp.int32).at[
+        jnp.arange(B)[:, None], jnp.where(is_start, pos, 0)
+    ].max(good_start.astype(jnp.int32))
+    good = in_len & (
+        jnp.take_along_axis(good_at, jnp.clip(start_pos, 0, L - 1), axis=1) > 0
+    )
+
+    # 3) decision scan over i = 0..eff (inclusive); carry (stride, limit,
+    # total); emit (write_start, value, valid) at boundaries.
+    c_ext = jnp.concatenate([counts, jnp.zeros((B, 4), counts.dtype)], axis=1)
+    limit4 = (c_ext[:, :L] + c_ext[:, 1:L+1] + c_ext[:, 2:L+2] + c_ext[:, 3:L+3] + 2) // 4
+    good_ext = jnp.concatenate([good, jnp.zeros((B, 1), jnp.bool_)], axis=1)
+
+    def step(carry, i):
+        stride, limit, total = carry
+        at_end = i == eff
+        inside = i < eff
+        ci = c_ext[:, i]
+        boundary = at_end | (inside & (good_ext[:, i] | (jnp.abs(ci - limit) >= 4)))
+        do_write = boundary & ((stride >= 4) | ((stride >= 3) & (total == 0)))
+        val = jnp.maximum((total + stride // 2) // jnp.maximum(stride, 1), 1)
+        val = jnp.where(total == 0, 0, val)
+        w_start = i - stride
+        # new limit (only at boundaries)
+        lim_new = jnp.where(
+            i < eff - 3, limit4[:, jnp.minimum(i, L - 1)],
+            jnp.where(i < eff, ci, 0),
+        )
+        limit = jnp.where(boundary, lim_new, limit)
+        stride = jnp.where(boundary, 0, stride) + jnp.where(i <= eff, 1, 0)
+        total = jnp.where(boundary, 0, total) + jnp.where(inside, ci, 0)
+        return (stride, limit, total), (do_write & (i <= eff), w_start, val, i)
+
+    init = (jnp.zeros(B, jnp.int32), c_ext[:, 0].astype(jnp.int32), jnp.zeros(B, jnp.int32))
+    _, (wr, wstart, wval, wend) = lax.scan(
+        step, init, jnp.arange(L + 1, dtype=jnp.int32)
+    )
+    wr, wstart, wval, wend = wr.T, wstart.T, wval.T, wend.T  # (B, L+1)
+
+    # Rewrite segments [wstart, wend): scatter (end, val) at their start
+    # positions, then assign each position to the latest write-start at or
+    # before it (segments are disjoint, so starts are unique).
+    lane = jnp.arange(B)[:, None]
+    ws = jnp.where(wr, jnp.clip(wstart, 0, L - 1), 0)
+    end_at = jnp.full((B, L), -1, jnp.int32).at[lane, ws].max(
+        jnp.where(wr, wend, -1)
+    )
+    val_at = jnp.full((B, L), -1, jnp.int32).at[lane, ws].max(
+        jnp.where(wr, wval, -1)
+    )
+    wkey = lax.cummax(jnp.where(end_at >= 0, pos, -1), axis=1)
+    wkey_c = jnp.clip(wkey, 0, L - 1)
+    covered = (wkey >= 0) & (pos < jnp.take_along_axis(end_at, wkey_c, axis=1))
+    fill_val = jnp.take_along_axis(val_at, wkey_c, axis=1)
+    return jnp.where((eff[:, None] > 0) & covered, fill_val, counts)
+
+
+def static_cost(lit_hist: jnp.ndarray, off_hist: jnp.ndarray) -> jnp.ndarray:
+    """evaluate_static_cost (blocks.py:72-84; reference
+    src/blockdeflate.c:538-566), batched."""
+    from ..constants import static_literal_code_lengths
+
+    static_lit = jnp.asarray(
+        np.asarray(static_literal_code_lengths(), dtype=np.int32)
+    )
+    rev_len = jnp.asarray(np.asarray(REV_MATCHLEN_SYMBOL_BITS, dtype=np.int32))
+    extra = jnp.concatenate(
+        [jnp.zeros(257, jnp.int32), rev_len,
+         jnp.zeros(NLITERALSYMS - 257 - rev_len.shape[0], jnp.int32)]
+    )
+    counted = jnp.where(
+        jnp.arange(NLITERALSYMS)[None, :] < 257 + rev_len.shape[0], lit_hist, 0
+    )
+    rev_off = jnp.asarray(np.asarray(REV_OFFSET_SYMBOL_BITS, dtype=np.int32))
+    cost = jnp.sum(counted * (static_lit[None, :] + extra[None, :]), axis=1)
+    cost = cost + jnp.sum(off_hist * (5 + rev_off[None, :]), axis=1)
+    return cost + 3
+
+
+def _concat_lengths(lit_len: jnp.ndarray, off_len: jnp.ndarray):
+    """concat(lit_len[:n_lit], off_len[:n_off]) as fixed (B, 320) +
+    n_def, shared by the cost estimators and the mask search."""
+    n_lit = defined_count(lit_len, 257)
+    n_off = defined_count(off_len, 1)
+    L = NLITERALSYMS + NOFFSETSYMS
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    from_off = j >= n_lit[:, None]
+    oidx = jnp.clip(j - n_lit[:, None], 0, NOFFSETSYMS - 1)
+    lens = jnp.where(
+        from_off,
+        jnp.take_along_axis(off_len, oidx, axis=1),
+        jnp.take_along_axis(lit_len, jnp.clip(j, 0, NLITERALSYMS - 1), axis=1),
+    )
+    return lens, n_lit, n_off, n_lit + n_off
+
+
+def dynamic_cost_given(lit_hist, off_hist, lit_len, off_len) -> jnp.ndarray:
+    """evaluate_dynamic_cost with GIVEN (limited) code lengths
+    (blocks.py:87-119) — used by the RLE A/B test; ``dynamic_cost``
+    below is the estimator variant that derives unlimited MK lengths
+    itself."""
+    rev_len = jnp.asarray(np.asarray(REV_MATCHLEN_SYMBOL_BITS, dtype=np.int32))
+    rev_off = jnp.asarray(np.asarray(REV_OFFSET_SYMBOL_BITS, dtype=np.int32))
+    extra_lit = jnp.concatenate(
+        [jnp.zeros(257, jnp.int32), rev_len,
+         jnp.zeros(NLITERALSYMS - 257 - rev_len.shape[0], jnp.int32)]
+    )
+    lit_counted = jnp.where(
+        jnp.arange(NLITERALSYMS)[None, :] < 257 + rev_len.shape[0], lit_hist, 0
+    )
+    cost = jnp.sum(lit_counted * (lit_len + extra_lit[None, :]), axis=1)
+    cost = cost + jnp.sum(off_hist * (off_len + rev_off[None, :]), axis=1)
+
+    lens, _, _, n_def = _concat_lengths(lit_len, off_len)
+    te_hist = rle_histogram(lens, n_def, 7)
+    te_len = mk_lengths(te_hist)
+    cost = cost + 5 + 5 + 4
+    cost = cost + 3 * raw_table_size(te_len)
+    cost = cost + rle_bits(lens, n_def, te_len, 31)
+    return cost + 3
+
+
+_MASK_ORDER = tuple(list(range(8)) + list(range(9, 32, 2)))
+
+
+def mask_search(lit_len: jnp.ndarray, off_len: jnp.ndarray):
+    """The CL-code mask search (blocks.py:327-351; reference
+    src/blockdeflate.c:958-977), batched: evaluate every mask in the
+    reference order (0..7 then odd 9..31), later masks win cost ties.
+    Returns (best_mask (B,), cl_len (B,19) limited CL lengths for the
+    winning mask, n_lit, n_off)."""
+    lens, n_lit, n_off, n_def = _concat_lengths(lit_len, off_len)
+    costs = []
+    cl_lens = []
+    for mask in _MASK_ORDER:
+        h = rle_histogram(lens, n_def, mask)
+        cl = limited_lengths(mk_lengths(h), 7)
+        costs.append(rle_bits(lens, n_def, cl, mask))
+        cl_lens.append(cl)
+    cost_m = jnp.stack(costs, axis=1)          # (B, 17)
+    cl_m = jnp.stack(cl_lens, axis=1)          # (B, 17, 19)
+    best = jnp.min(cost_m, axis=1)
+    # later mask in _MASK_ORDER wins ties -> max index among minima
+    midx = jnp.max(
+        jnp.where(cost_m == best[:, None],
+                  jnp.arange(len(_MASK_ORDER), dtype=jnp.int32)[None, :], -1),
+        axis=1,
+    )
+    mask_arr = jnp.asarray(np.asarray(_MASK_ORDER, dtype=np.int32))
+    cl_sel = jnp.take_along_axis(cl_m, midx[:, None, None], axis=1)[:, 0]
+    return mask_arr[midx], cl_sel, n_lit, n_off
+
+
 def dynamic_cost(lit_hist: jnp.ndarray, off_hist: jnp.ndarray) -> jnp.ndarray:
     """estimated_dynamic_cost_of_entropy, batched: MK lengths from the
     histograms, symbol cost + dynamic table cost (+3 block header bits).
