@@ -1,0 +1,158 @@
+"""The composed full-device begin-phase (ops/block_jax + device_pipeline):
+block-level bit-identity against the host block driver, stream-level
+byte-identity of the "jaxdev" engine, and the packed-bit splice."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _set_engine(name):
+    from zultra_tpu import engine
+
+    engine.set_engine(name)
+
+
+@pytest.fixture(autouse=True)
+def _restore_engine():
+    yield
+    from zultra_tpu import engine
+
+    engine._active_engine = None
+
+
+def test_put_packed_bits_all_phases():
+    """The vectorized packed-bit splice equals bit-by-bit put_bits at
+    every starting phase."""
+    from zultra_tpu.bitwriter import BitWriter
+    from zultra_tpu.device_pipeline import put_packed_bits
+
+    rng = np.random.RandomState(5)
+    for phase in range(8):
+        for total_bits in (1, 7, 8, 9, 31, 32, 33, 200, 1017):
+            bits = rng.randint(0, 2, total_bits)
+            words = np.zeros((total_bits + 31) // 32, np.uint32)
+            for i, b in enumerate(bits):
+                words[i // 32] |= np.uint32(int(b) << (i % 32))
+
+            buf1 = bytearray(1024)
+            w1 = BitWriter(buf1, 0, 1024)
+            if phase:
+                w1.put_bits(0x5A & ((1 << phase) - 1), phase)
+            for b in bits:
+                w1.put_bits(int(b), 1)
+
+            buf2 = bytearray(1024)
+            w2 = BitWriter(buf2, 0, 1024)
+            if phase:
+                w2.put_bits(0x5A & ((1 << phase) - 1), phase)
+            put_packed_bits(w2, words, total_bits)
+
+            assert (w1.offset, w1.bits_data, w1.bits_count) == (
+                w2.offset, w2.bits_data, w2.bits_count
+            ), (phase, total_bits)
+            assert buf1[: w1.offset] == buf2[: w2.offset], (phase, total_bits)
+
+
+def test_plan_block_kernel_equals_host_block_deflate(lz_corpus):
+    """Device block plans reproduce the host block driver bit for bit:
+    same static/dynamic choice and identical emitted block content
+    (tables + tokens) at phase 0, across dynamic, static-prone, and
+    RLE-adoption data shapes."""
+    from zultra_tpu.bitwriter import BitWriter
+    from zultra_tpu.blocks import (
+        block_deflate,
+        evaluate_dynamic_cost,
+        evaluate_static_cost,
+        prepare_cost_evaluation,
+    )
+    from zultra_tpu.device_pipeline import write_block_from_plan
+    from zultra_tpu.native import build_match_table
+    from zultra_tpu.ops.block_jax import plan_blocks
+
+    cases = [
+        lz_corpus["lz_4096_3_0.9"],
+        lz_corpus["lz_4096_256_0.2"],
+        lz_corpus["lz_16384_32_0.6"],
+        lz_corpus["source_code"][:10000],
+        bytes(range(256)) * 4,  # static-prone: flat histogram
+    ]
+    for data in cases:
+        arr = np.frombuffer(data, np.uint8).copy()
+        n = len(arr)
+        table = build_match_table(arr.copy(), 0).astype(np.int32)
+
+        lit_e, off_e = prepare_cost_evaluation(arr, table, 0, n)
+        st = evaluate_static_cost(lit_e, off_e)
+        lit_e.estimate_dynamic_codelens()
+        off_e.estimate_dynamic_codelens()
+        dy = evaluate_dynamic_cost(lit_e, off_e)
+        is_dynamic = not (st <= dy)
+
+        buf = bytearray(4 * n + 1024)
+        w = BitWriter(buf, 0, len(buf))
+        best = np.zeros((n, 2), np.int32)
+        block_deflate(arr, table, best, 0, n, is_dynamic, w)
+        w.flush_bits()
+        expect = bytes(buf[: w.offset])
+
+        [plan] = plan_blocks(arr, table, [(0, n)])
+        assert plan["is_dynamic"] == is_dynamic, len(data)
+        buf2 = bytearray(4 * n + 1024)
+        w2 = BitWriter(buf2, 0, len(buf2))
+        write_block_from_plan(plan, w2)
+        w2.flush_bits()
+        got = bytes(buf2[: w2.offset])
+        assert got == expect, (len(data), plan["is_dynamic"])
+
+
+def test_jaxdev_engine_stream_parity(lz_corpus):
+    """The jaxdev engine (device match -> split -> plan -> emit) produces
+    byte-identical streams to the native engine, multi-window with
+    history slide."""
+    import zultra_tpu as zt
+
+    data = (lz_corpus["lz_16384_32_0.6"] * 6)[: 2 * 32768 + 1234]
+    _set_engine("native")
+    expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    _set_engine("jaxdev")
+    got = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    assert got == expect
+
+    import zlib
+
+    assert zlib.decompress(got, 15 + 16) == data
+
+
+def test_jaxdev_engine_dictionary_and_zlib(lz_corpus):
+    """jaxdev with a preset dictionary under zlib framing."""
+    import zlib
+
+    import zultra_tpu as zt
+
+    data = lz_corpus["lz_16384_3_0.9"]
+    dictionary = lz_corpus["source_code"][:3000]
+    _set_engine("native")
+    expect = zt.compress(data, zt.FLAG_ZLIB_FRAMING, 32768, dictionary=dictionary)
+    _set_engine("jaxdev")
+    got = zt.compress(data, zt.FLAG_ZLIB_FRAMING, 32768, dictionary=dictionary)
+    assert got == expect
+    d = zlib.decompressobj(zdict=dictionary)
+    assert d.decompress(got) + d.flush() == data
+
+
+def test_jaxdev_engine_stored_fallback():
+    """Incompressible input drives jaxdev through the stored-block
+    rewind path, byte-identical to the host."""
+    import zultra_tpu as zt
+
+    data = np.random.RandomState(11).bytes(40000)
+    _set_engine("native")
+    expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    _set_engine("jaxdev")
+    got = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    assert got == expect

@@ -1,0 +1,203 @@
+"""Full-device begin-phase: compose the device match finder, device block
+splitter, and device block planner into one per-window pipeline, with the
+host doing only O(bytes) assembly — table bits (a few hundred per block)
+and the ordered bit-phase splice of device-packed token words.
+
+This is the composed form of the per-window hot path the reference runs
+on the CPU (reference src/libzultra.c:287-343 match/split trigger +
+src/blockdeflate.c:827-997 block driver): match tables, split points,
+greedy histograms, the 4-pass DP convergence, Huffman builds, Zopfli A/B,
+mask search, and token emission all execute on the device
+(ops/matchfinder_jax, ops/split_jax, ops/block_jax); the device→host
+download per block is the packed token words (~compressed size) plus a
+~400-byte plan, instead of the (n, 8, 2) match table the mixed jax
+engine ships.
+
+``DeviceWindowEngine`` (engine name "jaxdev") plugs into the streaming
+core's begin/emit pipeline contract, so framing, history slide, stored
+fallback, and dictionary handling are identical to every other engine —
+the stream bytes are bit-exact with the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitwriter import BitWriter, BitWriterError
+from .constants import (
+    CODELEN_SYM_ORDER,
+    NCODELENBITS,
+    NCODELENSYMS,
+    NLITERALSYMS,
+    NOFFSETSYMS,
+    NVALIDLITERALSYMS,
+    NVALIDOFFSETSYMS,
+)
+from .huffman import HuffmanEncoder, write_var_lengths
+
+
+def put_packed_bits(writer: BitWriter, words: np.ndarray, total_bits: int) -> None:
+    """Append an LSB-first packed bitstream (uint32 words, bits beyond
+    ``total_bits`` zero) at the writer's current bit phase — the
+    vectorized equivalent of ``total_bits`` put_bits calls."""
+    if total_bits == 0:
+        return
+    phase = writer.bits_count
+    n_in = (total_bits + 7) // 8
+    b = np.ascontiguousarray(words).view(np.uint8)[:n_in]
+    x = np.zeros(n_in + 1, np.uint16)
+    x[:n_in] = b.astype(np.uint16) << phase
+    if phase:
+        x[1:] |= b.astype(np.uint16) >> (8 - phase)
+    x[0] |= writer.bits_data
+    out_bytes = (x & 0xFF).astype(np.uint8)
+
+    T = phase + total_bits
+    full, left = T // 8, T & 7
+    if writer.offset + full > writer.max_offset:
+        raise BitWriterError("output buffer overflow")
+    writer.out[writer.offset : writer.offset + full] = out_bytes[:full].tobytes()
+    writer.offset += full
+    writer.bits_data = int(out_bytes[full]) & ((1 << left) - 1) if left else 0
+    writer.bits_count = left
+
+
+def _encoder_from_lengths(n_symbols: int, max_code_length: int, lengths) -> HuffmanEncoder:
+    """Rebuild an encoder (canonical codewords) from final code lengths —
+    the 19-symbol CL table is the only alphabet the host still issues."""
+    enc = HuffmanEncoder(n_symbols, max_code_length, 0)
+    enc.code_length[:n_symbols] = [int(x) for x in lengths]
+    used = [i for i in range(n_symbols) if enc.code_length[i]]
+    enc._issue_canonical(sorted(used, key=lambda i: (enc.code_length[i], i)))
+    return enc
+
+
+def write_block_from_plan(plan: dict, writer: BitWriter) -> None:
+    """Emit one planned block's content (tables + tokens) after the
+    caller's BFINAL/BTYPE bits — the host half of block_deflate
+    (blocks.py:320-368; reference src/blockdeflate.c:958-997)."""
+    if plan["is_dynamic"]:
+        n_lit, n_off = plan["n_lit"], plan["n_off"]
+        te = _encoder_from_lengths(NCODELENSYMS, 7, plan["cl_len"])
+        n_cl = te.get_raw_table_size()
+        if n_lit > NVALIDLITERALSYMS or n_off > NVALIDOFFSETSYMS or n_cl > NCODELENSYMS:
+            raise ValueError("invalid table sizes")
+        writer.put_bits(n_lit - 257, 5)
+        writer.put_bits(n_off - 1, 5)
+        writer.put_bits(n_cl - 4, 4)
+        te.write_raw_table(NCODELENBITS, n_cl, writer)
+        code_lengths = [int(x) for x in plan["lit_len"][:n_lit]] + [
+            int(x) for x in plan["off_len"][:n_off]
+        ]
+        write_var_lengths(te, n_lit + n_off, code_lengths, plan["best_mask"], writer)
+    put_packed_bits(writer, plan["words"], plan["total_bits"])
+
+
+class _WindowPlan:
+    __slots__ = ("plans", "block_spans", "window", "prev", "in_size")
+
+    def __init__(self, plans, block_spans, window, prev, in_size):
+        self.plans = plans
+        self.block_spans = block_spans
+        self.window = window
+        self.prev = prev
+        self.in_size = in_size
+
+
+def begin_window_device(window: np.ndarray, prev: int, in_size: int,
+                        n_threads: int = 0) -> _WindowPlan:
+    """Plan one window entirely on the device: match tables → split →
+    batched block plans. ``n_threads`` is accepted for engine-contract
+    compatibility (the device needs no host threads)."""
+    from .ops.block_jax import plan_blocks
+    from .ops.matchfinder_jax import match_table_jax
+    from .ops.split_jax import block_split_jax
+
+    window = np.asarray(window, dtype=np.uint8)
+    table = match_table_jax(window, prev, prev + in_size)
+    splits = block_split_jax(window, table, prev, in_size)
+    spans = []
+    s = prev
+    for e in splits:
+        spans.append((s, e))
+        s = e
+    plans = plan_blocks(window, table, spans)
+    return _WindowPlan(plans, spans, window, prev, in_size)
+
+
+def emit_window_from_plan(handle: _WindowPlan, window_is_last: bool,
+                          out: bytearray, bits_data: int, bits_count: int):
+    """Ordered, bit-phase-dependent emission of a planned window —
+    mirrors the stream spec path (stream.py:245-320; reference
+    src/libzultra.c:309-402) including the stored-block fallback."""
+    writer = BitWriter(out, 0, len(out))
+    writer.bits_data = bits_data
+    writer.bits_count = bits_count
+
+    n_blocks = len(handle.block_spans)
+    for i, ((s, e), plan) in enumerate(zip(handle.block_spans, handle.plans)):
+        block_size = e - s
+        is_final = 1 if (window_is_last and i == n_blocks - 1) else 0
+        saved = writer.state()
+        writer.put_bits(is_final, 1)
+        writer.put_bits(1 + (1 if plan["is_dynamic"] else 0), 2)
+        prev_offset = writer.get_offset()
+        try:
+            write_block_from_plan(plan, writer)
+            expanded = (writer.get_offset() - prev_offset) > block_size
+        except BitWriterError:
+            expanded = True
+
+        if expanded:
+            writer.restore(saved)
+            sub_offset = 0
+            remaining = block_size
+            while remaining:
+                sub_size = min(remaining, 65535)
+                sub_final = is_final if sub_size == remaining else 0
+                writer.put_bits(sub_final, 1)
+                writer.put_bits(0, 2)
+                writer.flush_bits()
+                writer.put_bytes(
+                    bytes(
+                        [
+                            sub_size & 0xFF,
+                            (sub_size >> 8) & 0xFF,
+                            (sub_size & 0xFF) ^ 0xFF,
+                            ((sub_size >> 8) & 0xFF) ^ 0xFF,
+                        ]
+                    )
+                )
+                writer.put_bytes(
+                    handle.window[s + sub_offset : s + sub_offset + sub_size].tobytes()
+                )
+                sub_offset += sub_size
+                remaining -= sub_size
+
+    if window_is_last:
+        writer.flush_bits()
+    return writer.get_offset(), writer.bits_data, writer.bits_count
+
+
+class DeviceWindowEngine:
+    """Engine "jaxdev": the full-device begin-phase. Match finding,
+    splitting, block planning, and token emission run on the device; the
+    host assembles framing, tables, and the ordered bit splice."""
+
+    name = "jaxdev"
+
+    def find_all_matches(self, window: np.ndarray, start: int, end: int) -> np.ndarray:
+        from .ops.matchfinder_jax import match_table_jax
+
+        return match_table_jax(window, start, end)
+
+    def begin_window(self, window: np.ndarray, prev: int, in_size: int,
+                     n_threads: int = 0) -> _WindowPlan:
+        return begin_window_device(window, prev, in_size, n_threads)
+
+    def emit_window(self, handle: _WindowPlan, window_is_last: bool,
+                    out: bytearray, bits_data: int, bits_count: int):
+        return emit_window_from_plan(handle, window_is_last, out, bits_data, bits_count)
+
+    def free_window(self, handle: _WindowPlan) -> None:
+        pass

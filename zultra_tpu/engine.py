@@ -103,6 +103,10 @@ def set_engine(name: str) -> None:
         _active_engine = NativeEngine()
     elif name == "jax":
         _active_engine = JaxEngine()
+    elif name == "jaxdev":
+        from .device_pipeline import DeviceWindowEngine
+
+        _active_engine = DeviceWindowEngine()
     else:
         raise ValueError(f"unknown engine {name!r}")
 

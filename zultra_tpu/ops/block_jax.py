@@ -1,0 +1,463 @@
+"""Device block planner: the complete per-block deflate decision flow —
+greedy entropy, static/dynamic choice, the 3+1-pass parse/entropy/code
+convergence loop, match→literal post-optimization, the Zopfli RLE A/B
+test, the CL-mask search, and token emission — as ONE batched jit over
+independent blocks.
+
+Replaces the semantics of the reference's block driver
+(reference src/blockdeflate.c:827-997 + the stream-level cost choice
+src/libzultra.c:317-324; host ports: blocks.block_deflate,
+stream.Stream._compress_window) with a TPU formulation:
+
+* Token walks (greedy entropy, final entropy, emission order) resolve by
+  pointer doubling — the greedy hop structure is memoryless, so block
+  starts lie on the window-global chain and every walk is a subpath.
+* The cost DP is the batched backward scan of ops/parse_wavefront with
+  the order-exact selection pass.
+* All entropy decisions run through the batched device Huffman bundle
+  (ops/entropy_jax): MK + Kraft-limited lengths, canonical codewords,
+  Zopfli rewrite, mask search.
+* Static vs dynamic lanes share one program: static lanes force the RFC
+  1951 fixed lengths into every convergence pass (the DP is then
+  idempotent across passes, which is exactly the host's single static
+  parse), and the per-lane flag selects the emitted codewords.
+* post_optimize's sequential walk has a closed form: a chosen match
+  demotes to literals iff its span's summed literal cost is below the
+  match cost AND the span contains no zero-length literal (the host's
+  early-exit scan can only keep the match in those cases); demoted spans
+  never overlap, so one cummax marks every covered position.
+
+Outputs per block: the packed token words at bit phase 0 (emit_jax
+construction), total bit count, the final code lengths, histogram-derived
+table counts, and the winning CL mask — everything the host needs to
+write HLIT/HDIST/HCLEN + tables (a few hundred bits) and splice the
+token words at the stream's bit phase. Only ~compressed-size bytes cross
+the device→host link.
+
+Exactness: bit-identical plans and token streams vs blocks.block_deflate
+on the fuzz corpus (tests/test_ops.py)."""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..constants import (
+    LEAVE_ALONE_MATCH_SIZE,
+    MATCHLEN_BASE,
+    MATCHLEN_EXTRA_BITS,
+    MATCHLEN_SYMBOL,
+    MAX_OFFSET,
+    MIN_MATCH_SIZE,
+    MIN_OFFSET,
+    NEODMARKERSYM,
+    NLITERALSYMS,
+    NMATCHES_PER_OFFSET,
+    NOFFSETSYMS,
+    OFFSET_BASE,
+    OFFSET_EXTRA_BITS,
+    OFFSET_SYMBOL,
+    static_literal_code_lengths,
+    static_offset_code_lengths,
+)
+from .entropy_jax import (
+    build_lengths,
+    canonical_codewords,
+    dynamic_cost,
+    dynamic_cost_given,
+    mask_search,
+    optimize_for_rle_jax,
+    static_cost,
+)
+from .parse_wavefront import (
+    TILE,
+    _dp_scan_cost,
+    _osmin_k,
+    _prep,
+    _select_pass,
+)
+
+CONVERGENCE_PASSES = 3
+
+
+def _static_tables():
+    """Host-precomputed RFC 1951 fixed tables (lengths + bit-reversed
+    codewords) — constants, so they never touch the device Huffman path."""
+    from ..huffman import HuffmanEncoder
+
+    lit = HuffmanEncoder(NLITERALSYMS, 15, 0)
+    lit.code_length[:NLITERALSYMS] = [int(x) for x in static_literal_code_lengths()]
+    lit.build_static_codewords()
+    off = HuffmanEncoder(NOFFSETSYMS, 15, 0)
+    off.code_length[:NOFFSETSYMS] = [int(x) for x in static_offset_code_lengths()]
+    off.build_static_codewords()
+    return (
+        np.array(lit.code_length[:NLITERALSYMS], np.int32),
+        np.array(lit.code_word[:NLITERALSYMS], np.int32),
+        np.array(off.code_length[:NOFFSETSYMS], np.int32),
+        np.array(off.code_word[:NOFFSETSYMS], np.int32),
+    )
+
+
+_STATIC_LIT_LEN, _STATIC_LIT_CW, _STATIC_OFF_LEN, _STATIC_OFF_CW = _static_tables()
+
+
+def _chain_mask(step: jnp.ndarray, length: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Batched token-start mask for the hop structure next(i) = i +
+    step[i], walked from position 0 while i < length. (B, n) bool."""
+    B = step.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    nxt = jnp.minimum(idx + step, n)
+    jmp = jnp.concatenate([nxt, jnp.full((B, 1), n, jnp.int32)], axis=1)
+    mark = jnp.zeros((B, n + 1), jnp.int32).at[:, 0].set(1)
+    lane = jnp.arange(B)[:, None]
+    rounds = max(1, int(math.ceil(math.log2(n + 1))) + 1)
+    for _ in range(rounds):
+        mark = jnp.maximum(
+            mark, jnp.zeros((B, n + 1), jnp.int32).at[lane, jmp].max(mark, mode="drop")
+        )
+        jmp = jnp.take_along_axis(jmp, jmp, axis=1)
+    return (mark[:, :n] == 1) & (idx < length[:, None])
+
+
+def _sym_tables():
+    # Constants — materialized per trace (caching them across traces
+    # would leak tracers into unrelated jits).
+    return (
+        jnp.asarray(np.asarray(MATCHLEN_SYMBOL, dtype=np.int32)),
+        jnp.asarray(np.asarray(MATCHLEN_EXTRA_BITS, dtype=np.int32)),
+        jnp.asarray(np.asarray(MATCHLEN_BASE, dtype=np.int32)),
+        jnp.asarray(np.asarray(OFFSET_SYMBOL, dtype=np.int32)),
+        jnp.asarray(np.asarray(OFFSET_EXTRA_BITS, dtype=np.int32)),
+        jnp.asarray(np.asarray(OFFSET_BASE, dtype=np.int32)),
+    )
+
+
+def _token_hist(window, lens, offs, length, n: int):
+    """Batched greedy/final token entropy — accumulate_token_entropy
+    (parse.py:143-172): walk the (lens, offs) hop structure from 0,
+    histogram literal/length and offset symbols, EOD += 1. Matches
+    crossing ``length`` count in full."""
+    B = window.shape[0]
+    len_sym, _, _, off_sym, _, _ = _sym_tables()
+    is_match = lens >= MIN_MATCH_SIZE
+    step = jnp.where(is_match, lens, 1)
+    is_tok = _chain_mask(step, length, n)
+
+    e = jnp.clip(lens - MIN_MATCH_SIZE, 0, 255)
+    raw_off = jnp.maximum(offs - 1, 0)
+    oidx = jnp.where(raw_off < 256, raw_off, 256 + ((raw_off - 256) >> 7))
+    oidx = jnp.clip(oidx, 0, 511)
+    sym1 = jnp.where(is_match, len_sym[e], window.astype(jnp.int32))
+    sym2 = jnp.where(is_match & is_tok, off_sym[oidx], NOFFSETSYMS)
+
+    lane = jnp.arange(B)[:, None]
+    lit_hist = jnp.zeros((B, NLITERALSYMS + 1), jnp.int32).at[
+        lane, jnp.where(is_tok, sym1, NLITERALSYMS)
+    ].add(1)[:, :NLITERALSYMS]
+    lit_hist = lit_hist.at[:, NEODMARKERSYM].add(1)
+    off_hist = jnp.zeros((B, NOFFSETSYMS + 1), jnp.int32).at[
+        lane, sym2
+    ].add(1)[:, :NOFFSETSYMS]
+    return lit_hist, off_hist
+
+
+def _run_dp(lit_lens, off_lens, window, mlens, moffs, length, n_pad: int):
+    """One batched DP pass (scan cost + order-exact selection)."""
+    def one(ll, ol, w, ml, mo, ln):
+        (
+            in_block, lit_cost, clamped, osize, long_cost_static, long_step,
+            short_clamped, run_min, n_long, ks, varlen_k,
+        ) = _prep(ll, ol, w, ml, mo, ln, n_pad)
+        osmin = _osmin_k(short_clamped, run_min, n_long, ks)
+        cost = _dp_scan_cost(
+            lit_cost, osmin, long_cost_static, long_step, ln, varlen_k, n_pad
+        )
+        cost_ext = jnp.concatenate([cost, jnp.zeros(TILE + 260, jnp.int32)])
+        return _select_pass(
+            cost_ext, lit_cost, ml, mo, osize, clamped, long_cost_static,
+            long_step, in_block, ks, varlen_k, n_pad,
+        )
+
+    return jax.vmap(one)(lit_lens, off_lens, window, mlens, moffs, length)
+
+
+def _offset_workaround(off_hist):
+    """Always emit ≥2 offset codewords (zlib <1.2.1.1 inflate bug,
+    reference src/blockdeflate.c:893-913), batched. Counts nonzero
+    entries among symbols 0..NOFFSETSYMS-3."""
+    counted = off_hist[:, : NOFFSETSYMS - 2]
+    n = jnp.minimum(jnp.sum((counted > 0).astype(jnp.int32), axis=1), 2)
+    e0, e1 = off_hist[:, 0], off_hist[:, 1]
+    new0 = jnp.where((n == 0) | ((n == 1) & (e0 == 0)), 1, e0)
+    new1 = jnp.where((n == 0) | ((n == 1) & (e0 > 0)), 1, e1)
+    return off_hist.at[:, 0].set(new0).at[:, 1].set(new1)
+
+
+def _post_optimize_full(best_len, best_off, window, lit_len_tbl, off_len_tbl,
+                        length, n: int):
+    """Batched match→literal demotion — post_optimize (parse.py:175-216).
+    A match demotes iff its span's literal cost sum is below the match
+    cost and the span holds no zero-length literal (the host's early-exit
+    scan can only keep the match in those cases); chosen spans are
+    disjoint tokens, so covered positions resolve with one cummax."""
+    B = window.shape[0]
+    len_sym, len_extra, _, off_sym, off_extra, _ = _sym_tables()
+    pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+
+    is_match = best_len >= MIN_MATCH_SIZE
+    step = jnp.where(is_match, best_len, 1)
+    is_tok = _chain_mask(step, length, n)
+    tok_match = is_tok & is_match & (best_off >= MIN_OFFSET) & (best_off <= MAX_OFFSET)
+
+    lit_costs = jnp.take_along_axis(
+        lit_len_tbl, window.astype(jnp.int32), axis=1
+    )
+    P = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(lit_costs, axis=1)], axis=1
+    )
+    Z = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         jnp.cumsum((lit_costs == 0).astype(jnp.int32), axis=1)], axis=1
+    )
+
+    e = jnp.clip(best_len - MIN_MATCH_SIZE, 0, 255)
+    raw_off = jnp.maximum(best_off - 1, 0)
+    oidx = jnp.where(raw_off < 256, raw_off, 256 + ((raw_off - 256) >> 7))
+    oidx = jnp.clip(oidx, 0, 511)
+    match_cost = (
+        jnp.take_along_axis(lit_len_tbl, len_sym[e], axis=1) + len_extra[e]
+        + jnp.take_along_axis(off_len_tbl, off_sym[oidx], axis=1) + off_extra[oidx]
+    )
+
+    span_end = jnp.minimum(pos + best_len, n)
+    span_cost = jnp.take_along_axis(P, span_end, axis=1) - jnp.take_along_axis(P, pos, axis=1)
+    span_zero = jnp.take_along_axis(Z, span_end, axis=1) - jnp.take_along_axis(Z, pos, axis=1)
+    demote = tok_match & (span_cost < match_cost) & (span_zero == 0)
+
+    dem_end = lax.cummax(jnp.where(demote, span_end, 0), axis=1)
+    covered = pos < dem_end
+    return jnp.where(covered, 0, best_len)
+
+
+def _emit_tokens(window, best_len, best_off, lit_cw, lit_len, off_cw, off_len,
+                 length, n: int):
+    """Batched token emission at bit phase 0 — the emit_jax construction
+    with a traced per-lane block length. Returns (words (B, W) uint32,
+    total_bits (B,))."""
+    B = window.shape[0]
+    len_sym, len_extra, len_base, off_sym, off_extra, off_base = _sym_tables()
+    lane = jnp.arange(B)[:, None]
+
+    is_m = best_len >= MIN_MATCH_SIZE
+    step = jnp.where(is_m, best_len, 1)
+    is_tok = _chain_mask(step, length, n)
+    is_match = is_tok & is_m
+
+    e = jnp.clip(best_len - MIN_MATCH_SIZE, 0, 255)
+    ls = len_sym[e]
+    raw_off = jnp.maximum(best_off - 1, 0)
+    oidx = jnp.where(raw_off < 256, raw_off, 256 + ((raw_off - 256) >> 7))
+    oidx = jnp.clip(oidx, 0, 511)
+    osym = off_sym[oidx]
+
+    byte = window.astype(jnp.int32)
+    lit_v = jnp.take_along_axis(lit_cw, byte, axis=1)
+    lit_n = jnp.take_along_axis(lit_len, byte, axis=1)
+    m1_v = jnp.take_along_axis(lit_cw, ls, axis=1) | (
+        (e - len_base[e]) << jnp.take_along_axis(lit_len, ls, axis=1)
+    )
+    m1_n = jnp.take_along_axis(lit_len, ls, axis=1) + len_extra[e]
+    m2_v = jnp.take_along_axis(off_cw, osym, axis=1) | (
+        (best_off - off_base[oidx]) << jnp.take_along_axis(off_len, osym, axis=1)
+    )
+    m2_n = jnp.take_along_axis(off_len, osym, axis=1) + off_extra[oidx]
+
+    lane1_v = jnp.where(is_match, m1_v, jnp.where(is_tok, lit_v, 0))
+    lane1_n = jnp.where(is_match, m1_n, jnp.where(is_tok, lit_n, 0))
+    lane2_v = jnp.where(is_match, m2_v, 0)
+    lane2_n = jnp.where(is_match, m2_n, 0)
+
+    vals = jnp.stack([lane1_v, lane2_v], axis=2).reshape(B, -1)
+    nbits = jnp.stack([lane1_n, lane2_n], axis=2).reshape(B, -1)
+    eod_v = lit_cw[:, NEODMARKERSYM][:, None]
+    eod_n = lit_len[:, NEODMARKERSYM][:, None]
+    vals = jnp.concatenate([vals, eod_v], axis=1)
+    nbits = jnp.concatenate([nbits, eod_n], axis=1)
+
+    offs_bits = jnp.cumsum(nbits, axis=1) - nbits
+    total_bits = offs_bits[:, -1] + nbits[:, -1]
+
+    num_words = (16 * n + 64) // 32 + 2
+    v = vals.astype(jnp.uint32)
+    w = (offs_bits >> 5).astype(jnp.int32)
+    sh = (offs_bits & 31).astype(jnp.uint32)
+    lo = jnp.where(nbits > 0, (v << sh) & jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    hi = jnp.where((nbits > 0) & (sh > 0), v >> (jnp.uint32(32) - sh), jnp.uint32(0))
+    words = jnp.zeros((B, num_words), jnp.uint32)
+    words = words.at[lane, w].add(lo, mode="drop")
+    words = words.at[lane, w + 1].add(hi, mode="drop")
+    return words, total_bits
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _plan_block_kernel(window, mlens, moffs, length, n_pad: int):
+    """The full per-block planning program, batched over B independent
+    blocks padded to n_pad. All inputs are block-local (position 0 = block
+    start); matches may reference bytes before the block via offsets only.
+
+    Returns a dict of per-lane plan arrays (see plan_blocks)."""
+    B = window.shape[0]
+    static_lit_len = jnp.asarray(_STATIC_LIT_LEN)
+    static_lit_cw = jnp.asarray(_STATIC_LIT_CW)
+    static_off_len = jnp.asarray(_STATIC_OFF_LEN)
+    static_off_cw = jnp.asarray(_STATIC_OFF_CW)
+
+    # Greedy entropy over match-table row 0 → static/dynamic choice.
+    g_lit, g_off = _token_hist(window, mlens[:, :, 0], moffs[:, :, 0], length, n_pad)
+    st_cost = static_cost(g_lit, g_off)
+    dy_cost = dynamic_cost(g_lit, g_off)
+    is_dyn = st_cost > dy_cost  # not (static <= dynamic)
+
+    # Initial dynamic code lengths from the greedy entropy.
+    lit_len = build_lengths(g_lit, 15)
+    off_len = build_lengths(g_off, 15)
+
+    # 3+1 convergence passes as ONE fori_loop body (a Python-unrolled
+    # loop would quadruple the compiled DP subgraph — ~4x compile time).
+    def conv_pass(p, state):
+        lit_len, off_len, best_len, best_off, f_lit, f_off = state
+        ll = jnp.where(is_dyn[:, None], lit_len, static_lit_len[None, :])
+        ol = jnp.where(is_dyn[:, None], off_len, static_off_len[None, :])
+        # Unused codewords get a default cost so the optimizer may adopt
+        # them (static tables have no zeros, so this is dynamic-only).
+        ll = jnp.where(ll == 0, 9, ll)
+        ol = jnp.where(ol == 0, 6, ol)
+        best_len, best_off = _run_dp(ll, ol, window, mlens, moffs, length, n_pad)
+        f_lit, f_off = _token_hist(window, best_len, best_off, length, n_pad)
+        f_off = lax.cond(
+            p == CONVERGENCE_PASSES, _offset_workaround, lambda h: h, f_off
+        )
+        lit_len = build_lengths(f_lit, 15)
+        off_len = build_lengths(f_off, 15)
+        return lit_len, off_len, best_len, best_off, f_lit, f_off
+
+    state0 = (
+        lit_len, off_len,
+        jnp.zeros((B, n_pad), jnp.int32), jnp.zeros((B, n_pad), jnp.int32),
+        g_lit, g_off,
+    )
+    lit_len, off_len, best_len, best_off, f_lit, f_off = lax.fori_loop(
+        0, CONVERGENCE_PASSES + 1, conv_pass, state0
+    )
+
+    # Match→literal demotion under the final lengths (dynamic only).
+    demoted = _post_optimize_full(
+        best_len, best_off, window, lit_len, off_len, length, n_pad
+    )
+    best_len = jnp.where(is_dyn[:, None], demoted, best_len)
+
+    # Zopfli RLE histogram A/B test.
+    cur_cost = dynamic_cost_given(f_lit, f_off, lit_len, off_len)
+    o_lit = optimize_for_rle_jax(f_lit)
+    o_off = optimize_for_rle_jax(f_off)
+    o_lit_len = build_lengths(o_lit, 15)
+    o_off_len = build_lengths(o_off, 15)
+    opt_cost = dynamic_cost_given(o_lit, o_off, o_lit_len, o_off_len)
+    adopt = opt_cost < cur_cost
+    lit_len = jnp.where(adopt[:, None], o_lit_len, lit_len)
+    off_len = jnp.where(adopt[:, None], o_off_len, off_len)
+
+    # CL-mask search over the final lengths.
+    best_mask, cl_len, n_lit, n_off = mask_search(lit_len, off_len)
+
+    # Final codewords and token emission.
+    lit_cw = jnp.where(
+        is_dyn[:, None], canonical_codewords(lit_len), static_lit_cw[None, :]
+    )
+    off_cw = jnp.where(
+        is_dyn[:, None], canonical_codewords(off_len), static_off_cw[None, :]
+    )
+    lit_len_f = jnp.where(is_dyn[:, None], lit_len, static_lit_len[None, :])
+    off_len_f = jnp.where(is_dyn[:, None], off_len, static_off_len[None, :])
+    words, total_bits = _emit_tokens(
+        window, best_len, best_off, lit_cw, lit_len_f, off_cw, off_len_f,
+        length, n_pad,
+    )
+    return {
+        "is_dynamic": is_dyn,
+        "lit_len": lit_len,
+        "off_len": off_len,
+        "best_mask": best_mask,
+        "cl_len": cl_len,
+        "n_lit": n_lit,
+        "n_off": n_off,
+        "words": words,
+        "total_bits": total_bits,
+        "best_len": best_len,
+        "best_off": best_off,
+    }
+
+
+def _bucket(n: int) -> int:
+    size = TILE
+    while size < n:
+        size *= 2
+    return size
+
+
+def plan_blocks(window, match_table, block_spans):
+    """Plan every block of a window on the device in bucketed batches.
+
+    ``window``: (n,) uint8 window buffer (history + input);
+    ``match_table``: (n, 8, 2) int32; ``block_spans``: [(s, e), ...] in
+    window coordinates. Returns one plan dict per block with numpy
+    values; 'words' is trimmed to ceil(total_bits/32)."""
+    window = np.asarray(window, dtype=np.uint8)
+    mt = np.asarray(match_table, dtype=np.int32)
+
+    buckets: dict[int, list[int]] = {}
+    for i, (s, e) in enumerate(block_spans):
+        buckets.setdefault(_bucket(e - s), []).append(i)
+
+    plans: list[dict | None] = [None] * len(block_spans)
+    for n_pad, idxs in sorted(buckets.items()):
+        # Lane count padded to a power of two: few compiled (B, n_pad)
+        # shapes instead of one executable per exact block count.
+        B = 1
+        while B < len(idxs):
+            B *= 2
+        win = np.zeros((B, n_pad), np.uint8)
+        ml = np.zeros((B, n_pad, NMATCHES_PER_OFFSET), np.int32)
+        mo = np.zeros((B, n_pad, NMATCHES_PER_OFFSET), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for b, i in enumerate(idxs):
+            s, e = block_spans[i]
+            win[b, : e - s] = window[s:e]
+            ml[b, : e - s] = mt[s:e, :, 0]
+            mo[b, : e - s] = mt[s:e, :, 1]
+            lens[b] = e - s
+        out = _plan_block_kernel(
+            jnp.asarray(win), jnp.asarray(ml), jnp.asarray(mo),
+            jnp.asarray(lens), n_pad,
+        )
+        total_bits = np.asarray(out["total_bits"])
+        for b, i in enumerate(idxs):
+            n_words = (int(total_bits[b]) + 31) // 32
+            plans[i] = {
+                "is_dynamic": bool(np.asarray(out["is_dynamic"][b])),
+                "lit_len": np.asarray(out["lit_len"][b]),
+                "off_len": np.asarray(out["off_len"][b]),
+                "best_mask": int(np.asarray(out["best_mask"][b])),
+                "cl_len": np.asarray(out["cl_len"][b]),
+                "n_lit": int(np.asarray(out["n_lit"][b])),
+                "n_off": int(np.asarray(out["n_off"][b])),
+                "total_bits": int(total_bits[b]),
+                "words": np.asarray(out["words"][b, :n_words]),
+            }
+    return plans
