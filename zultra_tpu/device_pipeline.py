@@ -107,21 +107,58 @@ class _WindowPlan:
 def begin_window_device(window: np.ndarray, prev: int, in_size: int,
                         n_threads: int = 0) -> _WindowPlan:
     """Plan one window entirely on the device: match tables → split →
-    batched block plans. ``n_threads`` is accepted for engine-contract
-    compatibility (the device needs no host threads)."""
-    from .ops.block_jax import plan_blocks
-    from .ops.matchfinder_jax import match_table_jax
-    from .ops.split_jax import block_split_jax
+    batched block plans. The match table stays RESIDENT on the device
+    (uint16) — the only downloads are the split points, per-block plans
+    (~400 B each), and the packed token words (~compressed size).
+    ``n_threads`` is accepted for engine-contract compatibility (the
+    device needs no host threads). ZULTRA_JAXDEV_TABLE=host selects the
+    round-tripping debug path."""
+    import os
+
+    import jax.numpy as jnp
 
     window = np.asarray(window, dtype=np.uint8)
-    table = match_table_jax(window, prev, prev + in_size)
-    splits = block_split_jax(window, table, prev, in_size)
+    n = prev + in_size
+
+    if os.environ.get("ZULTRA_JAXDEV_TABLE") == "host":
+        from .ops.block_jax import plan_blocks
+        from .ops.matchfinder_jax import match_table_jax
+        from .ops.split_jax import block_split_jax
+
+        table = match_table_jax(window, prev, n)
+        splits = block_split_jax(window, table, prev, in_size)
+        spans = []
+        s = prev
+        for e in splits:
+            spans.append((s, e))
+            s = e
+        plans = plan_blocks(window, table, spans)
+        return _WindowPlan(plans, spans, window, prev, in_size)
+
+    from .ops.block_jax import plan_blocks_device
+    from .ops.matchfinder_jax import match_table_device
+    from .ops.split_jax import _bucket as _split_bucket
+    from .ops.split_jax import _split_kernel
+
+    lens, offs = match_table_device(window, prev, n)
+    win_dev = jnp.asarray(window[:n])
+
+    n_pad_w = _split_bucket(n)
+    win_p = jnp.concatenate([win_dev, jnp.zeros(n_pad_w - n, jnp.uint8)])
+    tail = jnp.zeros(n_pad_w - n, jnp.int32)
+    rl = jnp.concatenate([lens[:, 0].astype(jnp.int32), tail])
+    ro = jnp.concatenate([offs[:, 0].astype(jnp.int32), tail])
+    splits_arr, n_splits = _split_kernel(
+        win_p, rl, ro, jnp.int32(prev), jnp.int32(n), n_pad_w
+    )
+    splits = [int(x) for x in np.asarray(splits_arr[: int(n_splits)])]
+    splits.append(n)
     spans = []
     s = prev
     for e in splits:
         spans.append((s, e))
         s = e
-    plans = plan_blocks(window, table, spans)
+    plans = plan_blocks_device(win_dev, lens, offs, spans)
     return _WindowPlan(plans, spans, window, prev, in_size)
 
 

@@ -411,6 +411,76 @@ def _bucket(n: int) -> int:
     return size
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _slice_blocks(win_ext, lens_ext, offs_ext, starts, n_pad: int):
+    """Cut B block lanes out of device-resident window/table arrays
+    (padded so every slice is in-bounds — lane data beyond each block's
+    length is garbage, which the planning kernel masks everywhere)."""
+    def one(s):
+        w = lax.dynamic_slice(win_ext, (s,), (n_pad,))
+        ml = lax.dynamic_slice(
+            lens_ext, (s, 0), (n_pad, NMATCHES_PER_OFFSET)
+        ).astype(jnp.int32)
+        mo = lax.dynamic_slice(
+            offs_ext, (s, 0), (n_pad, NMATCHES_PER_OFFSET)
+        ).astype(jnp.int32)
+        return w, ml, mo
+
+    return jax.vmap(one)(starts)
+
+
+def _collect_plans(out, idxs, plans):
+    total_bits = np.asarray(out["total_bits"])
+    for b, i in enumerate(idxs):
+        n_words = (int(total_bits[b]) + 31) // 32
+        plans[i] = {
+            "is_dynamic": bool(np.asarray(out["is_dynamic"][b])),
+            "lit_len": np.asarray(out["lit_len"][b]),
+            "off_len": np.asarray(out["off_len"][b]),
+            "best_mask": int(np.asarray(out["best_mask"][b])),
+            "cl_len": np.asarray(out["cl_len"][b]),
+            "n_lit": int(np.asarray(out["n_lit"][b])),
+            "n_off": int(np.asarray(out["n_off"][b])),
+            "total_bits": int(total_bits[b]),
+            "words": np.asarray(out["words"][b, :n_words]),
+        }
+
+
+def plan_blocks_device(win_dev, lens_dev, offs_dev, block_spans):
+    """plan_blocks over DEVICE-resident inputs: the window (n,) uint8 and
+    the uint16 (n, 8) match length/offset arrays never visit the host —
+    block lanes are device slices, and only each plan's packed words +
+    ~400 B of tables download."""
+    n = win_dev.shape[0]
+    buckets: dict[int, list[int]] = {}
+    for i, (s, e) in enumerate(block_spans):
+        buckets.setdefault(_bucket(e - s), []).append(i)
+
+    plans: list[dict | None] = [None] * len(block_spans)
+    for n_pad, idxs in sorted(buckets.items()):
+        B = 1
+        while B < len(idxs):
+            B *= 2
+        # Pad so start + n_pad stays in-bounds (dynamic_slice would
+        # otherwise clamp the start and shift real data into the lane).
+        win_ext = jnp.concatenate([win_dev, jnp.zeros(n_pad, jnp.uint8)])
+        z = jnp.zeros((n_pad, NMATCHES_PER_OFFSET), lens_dev.dtype)
+        lens_ext = jnp.concatenate([lens_dev, z])
+        offs_ext = jnp.concatenate([offs_dev, z])
+        starts = np.zeros(B, np.int32)
+        lengths = np.zeros(B, np.int32)
+        for b, i in enumerate(idxs):
+            s, e = block_spans[i]
+            starts[b] = s
+            lengths[b] = e - s
+        win, ml, mo = _slice_blocks(
+            win_ext, lens_ext, offs_ext, jnp.asarray(starts), n_pad
+        )
+        out = _plan_block_kernel(win, ml, mo, jnp.asarray(lengths), n_pad)
+        _collect_plans(out, idxs, plans)
+    return plans
+
+
 def plan_blocks(window, match_table, block_spans):
     """Plan every block of a window on the device in bucketed batches.
 
@@ -446,18 +516,5 @@ def plan_blocks(window, match_table, block_spans):
             jnp.asarray(win), jnp.asarray(ml), jnp.asarray(mo),
             jnp.asarray(lens), n_pad,
         )
-        total_bits = np.asarray(out["total_bits"])
-        for b, i in enumerate(idxs):
-            n_words = (int(total_bits[b]) + 31) // 32
-            plans[i] = {
-                "is_dynamic": bool(np.asarray(out["is_dynamic"][b])),
-                "lit_len": np.asarray(out["lit_len"][b]),
-                "off_len": np.asarray(out["off_len"][b]),
-                "best_mask": int(np.asarray(out["best_mask"][b])),
-                "cl_len": np.asarray(out["cl_len"][b]),
-                "n_lit": int(np.asarray(out["n_lit"][b])),
-                "n_off": int(np.asarray(out["n_off"][b])),
-                "total_bits": int(total_bits[b]),
-                "words": np.asarray(out["words"][b, :n_words]),
-            }
+        _collect_plans(out, idxs, plans)
     return plans

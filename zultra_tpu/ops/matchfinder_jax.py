@@ -443,6 +443,8 @@ def match_tables_for_spans(
     lens = np.asarray(lens[:S])
     offs = np.asarray(offs[:S])
     over = np.asarray(over[:S])
+    FALLBACK_STATS["segments"] += S
+    FALLBACK_STATS["overflowed"] += int(np.sum(over != 0))
 
     tables = []
     for w, (w_lo, w_hi) in enumerate(spans):
@@ -481,6 +483,69 @@ def _host_walk(window_bytes: np.ndarray, start: int) -> np.ndarray:
         from ..matchfinder import find_all_matches
 
         return find_all_matches(window_bytes.copy(), start, window_bytes.shape[0])
+
+
+# Host-fallback accounting (VERDICT round-2 item 7): segments processed
+# vs segments whose membership budget overflowed (degenerate runs that
+# fell back to the host walk). Read/reset by bench.py.
+FALLBACK_STATS = {"segments": 0, "overflowed": 0}
+
+
+def match_table_device(
+    window: np.ndarray, start: int, end: int, budget_factor: int | None = None
+):
+    """Device-RESIDENT per-window match table: same construction as
+    ``match_table_jax`` but the (end, 8) length/offset arrays stay on the
+    device (uint16) — nothing table-sized crosses the host link. Only the
+    per-segment overflow flags download; overflowing segments (degenerate
+    runs) are host-walked and their rows uploaded back.
+
+    Returns (lens (end, 8) uint16 jnp, offs (end, 8) uint16 jnp). Rows
+    [0, start) are zero (history positions report no matches)."""
+    window = np.asarray(window, dtype=np.uint8)
+    budget = budget_factor if budget_factor is not None else BUDGET_LADDER[0]
+    seg_core = SEG_CORE
+    segbufs, metas = build_segments(window[:end], [(start, end)], seg_core)
+    S, L = segbufs.shape
+
+    lens_c, offs_c, over_c = [], [], []
+    for i in range(0, S, VMAP_CHUNK):
+        chunk = segbufs[i : i + VMAP_CHUNK]
+        n_real = chunk.shape[0]
+        if n_real < VMAP_CHUNK:
+            pad = np.broadcast_to(chunk[-1], (VMAP_CHUNK - n_real, L))
+            chunk = np.concatenate([chunk, pad])
+        cl, co, cv = _chunk_kernel(jnp.asarray(chunk), L, budget, HALO, seg_core)
+        lens_c.append(cl[:n_real])
+        offs_c.append(co[:n_real])
+        over_c.append(cv[:n_real])
+
+    # (S * seg_core, 8) device arrays; segment cores are consecutive
+    # window ranges, so concatenation IS the window layout.
+    lens_flat = jnp.concatenate(lens_c).reshape(-1, NMATCHES_PER_OFFSET)
+    offs_flat = jnp.concatenate(offs_c).reshape(-1, NMATCHES_PER_OFFSET)
+    in_size = end - start
+    head = jnp.zeros((start, NMATCHES_PER_OFFSET), jnp.uint16)
+    lens = jnp.concatenate([head, lens_flat[:in_size]])
+    offs = jnp.concatenate([head, offs_flat[:in_size]])
+
+    over = np.asarray(jnp.concatenate(over_c))  # tiny download
+    FALLBACK_STATS["segments"] += S
+    FALLBACK_STATS["overflowed"] += int(np.sum(over != 0))
+    for s, (_, core_abs, core_len) in enumerate(metas):
+        if not over[s]:
+            continue
+        lo = max(core_abs - HALO, 0)
+        hi = min(core_abs + core_len + TAIL, end)
+        sub = _host_walk(window[lo:hi], core_abs - lo)
+        rows = sub[core_abs - lo : core_abs - lo + core_len]
+        lens = lax.dynamic_update_slice(
+            lens, jnp.asarray(rows[:, :, 0].astype(np.uint16)), (core_abs, 0)
+        )
+        offs = lax.dynamic_update_slice(
+            offs, jnp.asarray(rows[:, :, 1].astype(np.uint16)), (core_abs, 0)
+        )
+    return lens, offs
 
 
 def match_table_jax(
