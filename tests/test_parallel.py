@@ -237,3 +237,56 @@ def test_window_plan_serialization_roundtrip(lz_corpus):
     n2, bd2, bc2 = native.window_emit(h2, True, buf2, 0, 0)
     assert (n1, bd1, bc1) == (n2, bd2, bc2)
     assert buf1[:n1] == buf2[:n2]
+
+
+def test_windows_mode_jax_distributed_2proc(lz_corpus, tmp_path):
+    """Windows mode through REAL jax.distributed: two coordinated
+    processes (gloo CPU collectives), each planning its window span,
+    plans exchanged via process_allgather, process 0 stitching — the
+    output is byte-identical to the single-process stream."""
+    import socket
+    import subprocess
+    import sys
+
+    import zultra_tpu as zt
+
+    data = (lz_corpus["source_code"] * 40)[: 5 * 32768 + 321]
+    corpus = tmp_path / "corpus.bin"
+    corpus.write_bytes(data)
+    out_path = tmp_path / "dist_out.gz"
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = (
+        "import os, sys\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_cpu_collectives_implementation', 'gloo')\n"
+        "pid = int(sys.argv[1])\n"
+        "jax.distributed.initialize(coordinator_address='localhost:%d',\n"
+        "                           num_processes=2, process_id=pid)\n"
+        "sys.path.insert(0, %r)\n"
+        "import zultra_tpu as zt\n"
+        "from zultra_tpu.parallel.multihost import compress_windows_jax_distributed\n"
+        "data = open(%r, 'rb').read()\n"
+        "blob = compress_windows_jax_distributed(data, zt.FLAG_GZIP_FRAMING, 32768)\n"
+        "assert (blob is None) == (pid != 0)\n"
+        "if pid == 0:\n"
+        "    open(%r, 'wb').write(blob)\n"
+    ) % (port, str(Path(__file__).resolve().parent.parent), str(corpus), str(out_path))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    assert out_path.read_bytes() == expect

@@ -1131,20 +1131,80 @@ void zn_window_free(void* job) { zn::release_job((zn::WindowJob*)job); }
 
 // -- plan serialization -------------------------------------------------------
 // A planned window's emit-relevant state (window bytes, chosen tokens,
-// per-block plans — all POD) as a flat blob, so multi-host "windows" mode
-// can plan windows on worker processes/hosts and emit, in stream order and
-// at the true bit phase, on host 0. Layout:
-//   u32 magic | i32 prev | i32 in_size | i32 n_plans |
-//   window bytes (prev+in_size) | best (2*(prev+in_size) u16) |
-//   plans (n_plans * sizeof(BlockPlan))
+// per-block plans) as a flat blob, so multi-host "windows" mode can plan
+// windows on worker processes/hosts and emit, in stream order and at the
+// true bit phase, on host 0. The encoding is an explicit fixed layout —
+// every multi-byte field is written little-endian byte by byte, never via
+// struct memcpy — so blobs are valid across compilers, ABIs, and
+// endianness (i.e., over a real DCN between heterogeneous hosts).
+//
+//   u32 magic "ZPL2" | i32 prev | i32 in_size | i32 n_plans |
+//   u8 window[prev+in_size] | u16 best[2*(prev+in_size)] |
+//   n_plans * plan, where plan =
+//     i32 start | i32 size | u8 is_dynamic |
+//     encoder lit | encoder off |
+//     [if dynamic: i32 best_mask | i32 n_lit | i32 n_off |
+//      encoder te | u8 lens[n_lit+n_off]]
+//   and encoder = u16 n_symbols | u8 max_code_length |
+//     u8 code_length[n_symbols] | u16 code_word[n_symbols]
+// (Code lengths are ≤15 and codewords ≤15 bits by construction, so u8/u16
+// are exact. Encoder entropy[] is planning-only state and is not carried;
+// deserialized jobs are emit-only, which is all host 0 does with them.)
 
-static const uint32_t kPlanMagic = 0x5A504C31;  // "ZPL1"
+static const uint32_t kPlanMagic = 0x5A504C32;  // "ZPL2"
+
+static inline void wr_u16(uint8_t*& p, uint32_t v) {
+    p[0] = (uint8_t)v; p[1] = (uint8_t)(v >> 8); p += 2;
+}
+static inline void wr_u32(uint8_t*& p, uint32_t v) {
+    p[0] = (uint8_t)v; p[1] = (uint8_t)(v >> 8);
+    p[2] = (uint8_t)(v >> 16); p[3] = (uint8_t)(v >> 24); p += 4;
+}
+static inline uint32_t rd_u16(const uint8_t*& p) {
+    uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8); p += 2; return v;
+}
+static inline uint32_t rd_u32(const uint8_t*& p) {
+    uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                 ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+    p += 4; return v;
+}
+
+static int64_t encoder_wire_size(const zn::HuffEncoder& e) {
+    return 3 + (int64_t)e.n_symbols * 3;
+}
+
+static void write_encoder(uint8_t*& p, const zn::HuffEncoder& e) {
+    wr_u16(p, (uint32_t)e.n_symbols);
+    *p++ = (uint8_t)e.max_code_length;
+    for (int32_t i = 0; i < e.n_symbols; ++i) *p++ = (uint8_t)e.code_length[i];
+    for (int32_t i = 0; i < e.n_symbols; ++i) wr_u16(p, e.code_word[i]);
+}
+
+static bool read_encoder(const uint8_t*& p, const uint8_t* end, zn::HuffEncoder& e) {
+    if (end - p < 3) return false;
+    const int32_t n_symbols = (int32_t)rd_u16(p);
+    const int32_t max_len = *p++;
+    if (n_symbols < 0 || n_symbols > zn::kMaxSymbols || end - p < (int64_t)n_symbols * 3)
+        return false;
+    e.init(n_symbols, max_len);
+    for (int32_t i = 0; i < n_symbols; ++i) e.code_length[i] = *p++;
+    for (int32_t i = 0; i < n_symbols; ++i) e.code_word[i] = rd_u16(p);
+    return true;
+}
+
+static int64_t plan_wire_size(const zn::BlockPlan& plan) {
+    int64_t sz = 4 + 4 + 1 + encoder_wire_size(plan.lit) + encoder_wire_size(plan.off);
+    if (plan.is_dynamic)
+        sz += 12 + encoder_wire_size(plan.te) + (int64_t)(plan.n_lit + plan.n_off);
+    return sz;
+}
 
 int64_t zn_window_serialized_size(void* job) {
     zn::WindowJob* wj = (zn::WindowJob*)job;
     const int64_t n = wj->prev + wj->in_size;
-    return (int64_t)(4 + 12) + n + n * 2 * (int64_t)sizeof(uint16_t) +
-           (int64_t)wj->plans.size() * (int64_t)sizeof(zn::BlockPlan);
+    int64_t sz = (int64_t)(4 + 12) + n + n * 4;
+    for (const zn::BlockPlan& plan : wj->plans) sz += plan_wire_size(plan);
+    return sz;
 }
 
 int64_t zn_window_serialize(void* job, uint8_t* out, int64_t cap) {
@@ -1152,40 +1212,73 @@ int64_t zn_window_serialize(void* job, uint8_t* out, int64_t cap) {
     const int64_t need = zn_window_serialized_size(job);
     if (cap < need) return -1;
     uint8_t* p = out;
-    std::memcpy(p, &kPlanMagic, 4); p += 4;
-    std::memcpy(p, &wj->prev, 4); p += 4;
-    std::memcpy(p, &wj->in_size, 4); p += 4;
-    const int32_t n_plans = (int32_t)wj->plans.size();
-    std::memcpy(p, &n_plans, 4); p += 4;
+    wr_u32(p, kPlanMagic);
+    wr_u32(p, (uint32_t)wj->prev);
+    wr_u32(p, (uint32_t)wj->in_size);
+    wr_u32(p, (uint32_t)wj->plans.size());
     const int64_t n = wj->prev + wj->in_size;
     std::memcpy(p, wj->window.data(), n); p += n;
-    std::memcpy(p, wj->best.data(), n * 2 * sizeof(uint16_t)); p += n * 2 * sizeof(uint16_t);
-    std::memcpy(p, wj->plans.data(), n_plans * sizeof(zn::BlockPlan));
-    return need;
+    for (int64_t i = 0; i < n * 2; ++i) wr_u16(p, wj->best[i]);
+    for (const zn::BlockPlan& plan : wj->plans) {
+        wr_u32(p, (uint32_t)plan.start);
+        wr_u32(p, (uint32_t)plan.size);
+        *p++ = plan.is_dynamic ? 1 : 0;
+        write_encoder(p, plan.lit);
+        write_encoder(p, plan.off);
+        if (plan.is_dynamic) {
+            wr_u32(p, (uint32_t)plan.best_mask);
+            wr_u32(p, (uint32_t)plan.n_lit);
+            wr_u32(p, (uint32_t)plan.n_off);
+            write_encoder(p, plan.te);
+            for (int32_t i = 0; i < plan.n_lit + plan.n_off; ++i)
+                *p++ = (uint8_t)plan.lens[i];
+        }
+    }
+    return p - out;
 }
 
 void* zn_window_deserialize(const uint8_t* blob, int64_t size) {
-    if (size < 16) return nullptr;
-    uint32_t magic;
-    std::memcpy(&magic, blob, 4);
-    if (magic != kPlanMagic) return nullptr;
-    int32_t prev, in_size, n_plans;
-    std::memcpy(&prev, blob + 4, 4);
-    std::memcpy(&in_size, blob + 8, 4);
-    std::memcpy(&n_plans, blob + 12, 4);
+    const uint8_t* p = blob;
+    const uint8_t* end = blob + size;
+    if (size < 16 || rd_u32(p) != kPlanMagic) return nullptr;
+    const int32_t prev = (int32_t)rd_u32(p);
+    const int32_t in_size = (int32_t)rd_u32(p);
+    const int32_t n_plans = (int32_t)rd_u32(p);
     const int64_t n = (int64_t)prev + in_size;
-    const int64_t need = 16 + n + n * 2 * (int64_t)sizeof(uint16_t) +
-                         (int64_t)n_plans * (int64_t)sizeof(zn::BlockPlan);
-    if (size < need || n_plans < 0 || n <= 0) return nullptr;
+    if (prev < 0 || in_size < 0 || n_plans < 0 || n <= 0 || end - p < n + n * 4)
+        return nullptr;
     zn::WindowJob* wj = zn::acquire_job();
     wj->prev = prev;
     wj->in_size = in_size;
-    const uint8_t* p = blob + 16;
     wj->window.assign(p, p + n); p += n;
     wj->best.resize(n * 2);
-    std::memcpy(wj->best.data(), p, n * 2 * sizeof(uint16_t)); p += n * 2 * sizeof(uint16_t);
+    for (int64_t i = 0; i < n * 2; ++i) wj->best[i] = (uint16_t)rd_u16(p);
     wj->plans.resize(n_plans);
-    std::memcpy(wj->plans.data(), p, n_plans * sizeof(zn::BlockPlan));
+    for (zn::BlockPlan& plan : wj->plans) {
+        if (end - p < 9) { zn::release_job(wj); return nullptr; }
+        plan.start = (int32_t)rd_u32(p);
+        plan.size = (int32_t)rd_u32(p);
+        plan.is_dynamic = *p++ != 0;
+        if (!read_encoder(p, end, plan.lit) || !read_encoder(p, end, plan.off)) {
+            zn::release_job(wj); return nullptr;
+        }
+        if (plan.is_dynamic) {
+            if (end - p < 12) { zn::release_job(wj); return nullptr; }
+            plan.best_mask = (int32_t)rd_u32(p);
+            plan.n_lit = (int32_t)rd_u32(p);
+            plan.n_off = (int32_t)rd_u32(p);
+            const int64_t n_lens = (int64_t)plan.n_lit + plan.n_off;
+            if (plan.n_lit < 0 || plan.n_off < 0 ||
+                n_lens > (int64_t)(sizeof(plan.lens) / sizeof(plan.lens[0])) ||
+                !read_encoder(p, end, plan.te) || end - p < n_lens) {
+                zn::release_job(wj); return nullptr;
+            }
+            for (int64_t i = 0; i < n_lens; ++i) plan.lens[i] = *p++;
+        } else {
+            plan.best_mask = -1;
+            plan.n_lit = plan.n_off = 0;
+        }
+    }
     return wj;
 }
 

@@ -14,10 +14,15 @@ Two output modes:
   planned independently; the final bit-phase stitching runs on host 0
   (cheap, ordered — the same begin/emit split the thread pipeline uses).
 
-This module is written for jax.distributed but degrades to a
-single-process simulation for environments without multiple hosts; the
-scaling bench (bench_scaling) uses OS processes to measure real scaling
-efficiency of the shard-parallel path.
+``compress_windows_jax_distributed`` is the real multi-process form:
+every jax.distributed process plans its contiguous span of windows, the
+serialized plans (explicit fixed-layout blobs, zn_window_serialize) are
+gathered with a jax collective (process_allgather over the gloo CPU /
+ICI backend), and process 0 stitches the single bit-exact stream.
+``compress_windows_multihost`` is the same decomposition driven by
+forked OS workers on one machine — used by the scaling bench
+(bench_scaling), which measures real scaling efficiency of the
+shard-parallel path.
 """
 
 from __future__ import annotations
@@ -234,6 +239,59 @@ def compress_windows_multihost(
             )
     blobs = [b for lst in blob_lists for b in lst]
     return stitch_window_plans(blobs, flags, data, max_block_size)
+
+
+def compress_windows_jax_distributed(
+    data: bytes, flags: int = 0, max_block_size: int = 0
+) -> bytes | None:
+    """Windows mode over an initialized ``jax.distributed`` job: this
+    process plans its contiguous span of the stream's windows, all
+    processes exchange serialized plans through one allgather collective
+    (gloo over TCP on CPU backends, ICI/DCN on TPU pods), and process 0
+    stitches the single deflate stream at the true running bit phase.
+
+    Returns the compressed bytes on process 0, ``None`` elsewhere. The
+    output is byte-identical to the single-process stream (the reference
+    semantics of src/libzultra.c:200-514, decomposed by window).
+
+    ``data`` must be the full corpus on every process (the usual corpus-
+    on-shared-storage pod setup); each process only *plans* its own span.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..stream import clamp_block_size
+
+    idx, count = jax.process_index(), jax.process_count()
+    max_block_size = clamp_block_size(max_block_size)
+    spans = window_spans(len(data), max_block_size)
+    per = -(-len(spans) // count)
+    mine = spans[idx * per : (idx + 1) * per]
+    blobs = plan_window_span(data, mine)
+
+    # Frame this process's blobs with u32 length prefixes, pad to the
+    # global max, and exchange with ONE allgather (two collectives total:
+    # the scalar size gather sizes the padded buffer).
+    local = bytearray()
+    for b in blobs:
+        local += len(b).to_bytes(4, "little") + b
+    sizes = multihost_utils.process_allgather(np.int64(len(local)))
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: len(local)] = np.frombuffer(bytes(local), np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+
+    if idx != 0:
+        return None
+    all_blobs = []
+    for pi in range(count):
+        row = gathered[pi].tobytes()[: int(sizes[pi])]
+        o = 0
+        while o < len(row):
+            ln = int.from_bytes(row[o : o + 4], "little")
+            all_blobs.append(row[o + 4 : o + 4 + ln])
+            o += 4 + ln
+    assert len(all_blobs) == len(spans)
+    return stitch_window_plans(all_blobs, flags, data, max_block_size)
 
 
 # ---------------------------------------------------------------------------
