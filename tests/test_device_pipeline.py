@@ -187,3 +187,17 @@ def test_jaxdev_fallback_near_zero_on_text(lz_corpus):
     zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
     assert FALLBACK_STATS["segments"] > 0
     assert FALLBACK_STATS["overflowed"] == 0
+
+
+def test_compress_device_batch_grouping(lz_corpus):
+    """compress_device with several window groups (windows_per_batch
+    smaller than the window count) and a partial last window is
+    byte-identical to the native stream."""
+    import zultra_tpu as zt
+    from zultra_tpu.device_pipeline import compress_device
+
+    data = (lz_corpus["source_code"] * 40)[: 5 * 32768 + 4321]
+    _set_engine("native")
+    expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    got = compress_device(data, zt.FLAG_GZIP_FRAMING, 32768, windows_per_batch=2)
+    assert got == expect

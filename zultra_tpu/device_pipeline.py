@@ -216,12 +216,154 @@ def emit_window_from_plan(handle: _WindowPlan, window_is_last: bool,
     return writer.get_offset(), writer.bits_data, writer.bits_count
 
 
+def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int):
+    """Plan a BATCH of windows on the device in one composed pass:
+    full-occupancy match-table chunks for every window's segments →
+    one vmapped split kernel over all lanes → block plans bucketed
+    ACROSS windows (the serial DP-scan latency amortizes over the whole
+    batch — the begin-phase cost per window drops ~linearly with the
+    batch). Returns one _WindowPlan per span, in order.
+
+    Lane layout: every window occupies a (HALO + mbs) device lane with
+    its first input byte at offset HALO; its real history bytes (≤32 KB,
+    possibly fewer for the first window / a preset dictionary) sit just
+    below, zeros elsewhere."""
+    import jax.numpy as jnp
+
+    from .constants import HISTORY_SIZE
+    from .ops.block_jax import plan_blocks_device_multi
+    from .ops.matchfinder_jax import HALO, match_tables_device_stacked
+    from .ops.split_jax import _bucket as _split_bucket, _split_kernel_batch
+
+    W = len(spans)
+    n_lane = HALO + mbs
+    lens_st, offs_st = match_tables_device_stacked(corpus, spans, mbs)
+
+    win_stack = np.zeros((W, n_lane), np.uint8)
+    prevs = []
+    for w, (w_lo, w_hi) in enumerate(spans):
+        prev = min(HISTORY_SIZE, w_lo)
+        prevs.append(prev)
+        win_stack[w, HALO - prev : HALO + (w_hi - w_lo)] = corpus[w_lo - prev : w_hi]
+    win_dev = jnp.asarray(win_stack)
+
+    n_pad_w = _split_bucket(n_lane)
+    win_p = jnp.concatenate(
+        [win_dev, jnp.zeros((W, n_pad_w - n_lane), jnp.uint8)], axis=1
+    )
+    ztail = jnp.zeros((W, n_pad_w - n_lane), jnp.int32)
+    rl = jnp.concatenate([lens_st[:, :, 0].astype(jnp.int32), ztail], axis=1)
+    ro = jnp.concatenate([offs_st[:, :, 0].astype(jnp.int32), ztail], axis=1)
+    n_reals = jnp.asarray(
+        np.array([HALO + (hi - lo) for lo, hi in spans], dtype=np.int32)
+    )
+    splits_arr, n_splits = _split_kernel_batch(
+        win_p, rl, ro, jnp.int32(HALO), n_reals, n_pad_w
+    )
+    splits_arr = np.asarray(splits_arr)
+    n_splits = np.asarray(n_splits)
+
+    # Flatten every window's blocks into one cross-window lane list.
+    lanes = []
+    spans_per_window = []
+    for w, (w_lo, w_hi) in enumerate(spans):
+        ends = [int(x) for x in splits_arr[w, : int(n_splits[w])]]
+        ends.append(HALO + (w_hi - w_lo))
+        blocks = []
+        s = HALO
+        for e in ends:
+            blocks.append((s, e))
+            lanes.append((w, s, e - s))
+            s = e
+        spans_per_window.append(blocks)
+
+    plans_flat = plan_blocks_device_multi(win_dev, lens_st, offs_st, lanes)
+
+    handles = []
+    i = 0
+    for w, (w_lo, w_hi) in enumerate(spans):
+        prev = prevs[w]
+        shift = HALO - prev  # lane coords -> window-buffer coords
+        blocks = [(s - shift, e - shift) for (s, e) in spans_per_window[w]]
+        n_blocks = len(blocks)
+        handles.append(
+            _WindowPlan(
+                plans_flat[i : i + n_blocks], blocks,
+                corpus[w_lo - prev : w_hi], prev, w_hi - w_lo,
+            )
+        )
+        i += n_blocks
+    return handles
+
+
+def compress_device(
+    data: bytes,
+    flags: int = 0,
+    max_block_size: int = 0,
+    dictionary: bytes | None = None,
+    windows_per_batch: int = 16,
+) -> bytes:
+    """One-shot full-device compression with windows BATCHED through the
+    composed begin-phase — the device-scaled form of the reference's
+    one-shot API (src/libzultra.c:601-619). Byte-identical to the
+    streaming core at the same block size (same window cuts, history
+    slides, BFINAL placement, stored fallback, framing)."""
+    from . import frame
+    from .constants import HISTORY_SIZE
+    from .stream import StreamError, clamp_block_size, memory_bound
+
+    mbs = clamp_block_size(max_block_size)
+    data_b = bytes(data)
+    if not data_b:
+        raise StreamError("cannot finalize an empty stream")
+    dict_b = bytes(dictionary) if dictionary else b""
+    if len(dict_b) > HISTORY_SIZE:
+        raise StreamError(
+            f"dictionary exceeds the {HISTORY_SIZE}-byte history window"
+        )
+    corpus = np.frombuffer(dict_b + data_b, dtype=np.uint8)
+    base = len(dict_b)
+    spans = []
+    pos = 0
+    while pos < len(data_b):
+        hi = min(pos + mbs, len(data_b))
+        spans.append((base + pos, base + hi))
+        pos = hi
+
+    out = bytearray()
+    out += frame.encode_header(flags, dict_b if dict_b else None)
+    checksum = frame.init_checksum(flags)
+    checksum = frame.update_checksum(checksum, corpus[base:], flags)
+
+    buf = bytearray(memory_bound(mbs, flags, mbs))
+    bits_data, bits_count = 0, 0
+    for g in range(0, len(spans), windows_per_batch):
+        group = spans[g : g + windows_per_batch]
+        handles = _begin_windows_batched(corpus, group, mbs)
+        for i, handle in enumerate(handles):
+            is_last = g + i + 1 == len(spans)
+            n, bits_data, bits_count = emit_window_from_plan(
+                handle, is_last, buf, bits_data, bits_count
+            )
+            out += buf[:n]
+    out += frame.encode_footer(flags, checksum, len(data_b))
+    return bytes(out)
+
+
 class DeviceWindowEngine:
     """Engine "jaxdev": the full-device begin-phase. Match finding,
     splitting, block planning, and token emission run on the device; the
-    host assembles framing, tables, and the ordered bit splice."""
+    host assembles framing, tables, and the ordered bit splice.
+
+    One-shot compression routes through ``compress_device`` (windows
+    batched through the composed device begin-phase); the per-window
+    begin/emit contract below serves the streaming push API."""
 
     name = "jaxdev"
+
+    @staticmethod
+    def compress_corpus(data, flags=0, max_block_size=0, dictionary=None):
+        return compress_device(data, flags, max_block_size, dictionary)
 
     def find_all_matches(self, window: np.ndarray, start: int, end: int) -> np.ndarray:
         from .ops.matchfinder_jax import match_table_jax

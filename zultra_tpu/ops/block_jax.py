@@ -481,6 +481,67 @@ def plan_blocks_device(win_dev, lens_dev, offs_dev, block_spans):
     return plans
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _slice_blocks_multi(win_ext, lens_ext, offs_ext, widx, starts, n_pad: int):
+    """Cut B block lanes out of STACKED device window/table arrays
+    ((W, n_lane[+pad]) layouts): lane b is window widx[b]'s slice at
+    starts[b]. Callers pre-extend the stacks by ≥ n_pad columns so every
+    slice is in-bounds."""
+    def one(w, s):
+        win = lax.dynamic_slice(win_ext, (w, s), (1, n_pad))[0]
+        ml = lax.dynamic_slice(
+            lens_ext, (w, s, 0), (1, n_pad, NMATCHES_PER_OFFSET)
+        )[0].astype(jnp.int32)
+        mo = lax.dynamic_slice(
+            offs_ext, (w, s, 0), (1, n_pad, NMATCHES_PER_OFFSET)
+        )[0].astype(jnp.int32)
+        return win, ml, mo
+
+    return jax.vmap(one)(widx, starts)
+
+
+def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes):
+    """plan_blocks over blocks drawn from a BATCH of device-resident
+    window lanes: ``win_stack`` (W, n_lane) uint8, ``lens_stack``/
+    ``offs_stack`` (W, n_lane, 8) uint16, ``lanes`` a list of
+    (window_index, start_in_lane, length) for every block of every
+    window. All blocks bucket by padded size ACROSS windows, so the
+    planning kernel's serial DP scan amortizes over the whole window
+    batch instead of running once per window. Returns plans in ``lanes``
+    order."""
+    if not lanes:
+        return []
+    buckets: dict[int, list[int]] = {}
+    for i, (_, _, ln) in enumerate(lanes):
+        buckets.setdefault(_bucket(ln), []).append(i)
+    n_pad_max = max(buckets)
+    W = win_stack.shape[0]
+    win_ext = jnp.concatenate(
+        [win_stack, jnp.zeros((W, n_pad_max), jnp.uint8)], axis=1
+    )
+    z = jnp.zeros((W, n_pad_max, NMATCHES_PER_OFFSET), lens_stack.dtype)
+    lens_ext = jnp.concatenate([lens_stack, z], axis=1)
+    offs_ext = jnp.concatenate([offs_stack, z], axis=1)
+
+    plans: list[dict | None] = [None] * len(lanes)
+    for n_pad, idxs in sorted(buckets.items()):
+        B = 1
+        while B < len(idxs):
+            B *= 2
+        widx = np.zeros(B, np.int32)
+        starts = np.zeros(B, np.int32)
+        lengths = np.zeros(B, np.int32)
+        for b, i in enumerate(idxs):
+            widx[b], starts[b], lengths[b] = lanes[i]
+        win, ml, mo = _slice_blocks_multi(
+            win_ext, lens_ext, offs_ext, jnp.asarray(widx), jnp.asarray(starts),
+            n_pad,
+        )
+        out = _plan_block_kernel(win, ml, mo, jnp.asarray(lengths), n_pad)
+        _collect_plans(out, idxs, plans)
+    return plans
+
+
 def plan_blocks(window, match_table, block_spans):
     """Plan every block of a window on the device in bucketed batches.
 

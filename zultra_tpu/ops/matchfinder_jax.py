@@ -322,15 +322,19 @@ def _chunk_kernel(bufs, n, budget_factor, core_off: int, core_len: int):
 
 @functools.lru_cache(maxsize=None)
 def _sharded_chunk_fn(mesh, n, budget_factor, core_off: int, core_len: int):
-    """Jitted shard_map of the segment kernel over the mesh's 'dp' axis,
-    cached by (mesh, statics) so repeated corpus calls reuse the
-    executable instead of recompiling."""
+    """Jitted shard_map of the segment kernel over BOTH mesh axes: the
+    flat segment axis is laid out window-major (build_segments), so 'dp'
+    carries window groups and 'sp' carries segments WITHIN a window —
+    bytes-within-window sharding in compression proper, not just the
+    stats step. Cached by (mesh, statics) so repeated corpus calls reuse
+    the executable instead of recompiling."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     step = shard_map(
         jax.vmap(lambda b: _core_kernel(b, n, budget_factor, core_off, core_len)),
-        mesh=mesh, in_specs=P("dp"), out_specs=P("dp"), check_vma=False,
+        mesh=mesh, in_specs=P(("dp", "sp")), out_specs=P(("dp", "sp")),
+        check_vma=False,
     )
     return jax.jit(step)
 
@@ -430,14 +434,14 @@ def match_tables_for_spans(
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n_dp = mesh.shape["dp"]
-        S_pad = -(-S // n_dp) * n_dp
+        n_dev = mesh.shape["dp"] * mesh.shape["sp"]
+        S_pad = -(-S // n_dev) * n_dev
         if S_pad > S:
             pad = np.broadcast_to(segbufs[-1], (S_pad - S, L))
             segbufs = np.concatenate([segbufs, pad])
         step = _sharded_chunk_fn(mesh, L, budget_factor, HALO, seg_core)
         arr = jax.device_put(
-            jnp.asarray(segbufs), NamedSharding(mesh, P("dp"))
+            jnp.asarray(segbufs), NamedSharding(mesh, P(("dp", "sp")))
         )
         lens, offs, over = step(arr)
     lens = np.asarray(lens[:S])
@@ -546,6 +550,99 @@ def match_table_device(
             offs, jnp.asarray(rows[:, :, 1].astype(np.uint16)), (core_abs, 0)
         )
     return lens, offs
+
+
+@functools.partial(jax.jit, static_argnames=("W", "k", "seg_core", "mbs"))
+def _assemble_stacked(lens_all, offs_all, in_sizes, W: int, k: int,
+                      seg_core: int, mbs: int):
+    """(W*k, seg_core, 8) chunk outputs → (W, HALO+mbs, 8) window lanes.
+
+    Segment cores tile each window contiguously, so per-window rows are a
+    pure reshape; rows past each window's in_size (garbage from the last
+    partial segment) zero out, and HALO zero rows are prepended (history
+    positions report no matches — the lane layout every consumer of the
+    stacked tables assumes)."""
+    def shape(x):
+        x = x.reshape(W, k * seg_core, NMATCHES_PER_OFFSET)[:, :mbs]
+        row = jnp.arange(mbs, dtype=jnp.int32)[None, :, None]
+        x = jnp.where(row < in_sizes[:, None, None], x, 0)
+        head = jnp.zeros((W, HALO, NMATCHES_PER_OFFSET), jnp.uint16)
+        return jnp.concatenate([head, x], axis=1)
+
+    return shape(lens_all), shape(offs_all)
+
+
+def match_tables_device_stacked(corpus: np.ndarray, spans, mbs: int,
+                                budget_factor: int | None = None):
+    """Device-RESIDENT match tables for a BATCH of window spans, stacked
+    into one uniform lane layout: returns (lens, offs) of shape
+    (W, HALO+mbs, 8) uint16 where lane w's rows [HALO, HALO+in_size_w)
+    are window w's input positions (in_size_w = hi-lo of spans[w]; every
+    span but the last must be exactly ``mbs`` long) and all other rows
+    are zero. Nothing table-sized crosses the host link; overflowing
+    (degenerate-run) segments are host-walked and patched back
+    (FALLBACK_STATS accounting, VERDICT r2 item 7).
+
+    This is the batched begin-phase form: all windows' segments run
+    through full-occupancy kernel chunks, so per-window chunk under-fill
+    disappears and the downstream batched splitter/planner amortize their
+    serial scan latency across the whole window batch."""
+    corpus = np.asarray(corpus, dtype=np.uint8)
+    budget = budget_factor if budget_factor is not None else BUDGET_LADDER[0]
+    seg_core = SEG_CORE
+    W = len(spans)
+    k = -(-mbs // seg_core)
+    for w_lo, w_hi in spans[:-1]:
+        assert w_hi - w_lo == mbs, "only the last span may be partial"
+    segbufs, metas = build_segments(corpus, spans, seg_core)
+    S, L = segbufs.shape
+
+    lens_c, offs_c, over_c = [], [], []
+    for i in range(0, S, VMAP_CHUNK):
+        chunk = segbufs[i : i + VMAP_CHUNK]
+        n_real = chunk.shape[0]
+        if n_real < VMAP_CHUNK:
+            pad = np.broadcast_to(chunk[-1], (VMAP_CHUNK - n_real, L))
+            chunk = np.concatenate([chunk, pad])
+        cl, co, cv = _chunk_kernel(jnp.asarray(chunk), L, budget, HALO, seg_core)
+        lens_c.append(cl[:n_real])
+        offs_c.append(co[:n_real])
+        over_c.append(cv[:n_real])
+
+    lens_all = jnp.concatenate(lens_c)
+    offs_all = jnp.concatenate(offs_c)
+    pad_lanes = W * k - S  # the last window's missing segments
+    if pad_lanes:
+        z = jnp.zeros((pad_lanes, seg_core, NMATCHES_PER_OFFSET), jnp.uint16)
+        lens_all = jnp.concatenate([lens_all, z])
+        offs_all = jnp.concatenate([offs_all, z])
+    in_sizes = jnp.asarray(
+        np.array([hi - lo for lo, hi in spans], dtype=np.int32)
+    )
+    lens_st, offs_st = _assemble_stacked(
+        lens_all, offs_all, in_sizes, W, k, seg_core, mbs
+    )
+
+    over = np.asarray(jnp.concatenate(over_c))  # tiny download
+    FALLBACK_STATS["segments"] += S
+    FALLBACK_STATS["overflowed"] += int(np.sum(over != 0))
+    for s, (w, core_abs, core_len) in enumerate(metas):
+        if not over[s]:
+            continue
+        w_lo, w_hi = spans[w]
+        prev = min(HALO, w_lo)
+        lo = max(core_abs - HALO, w_lo - prev)
+        hi = min(core_abs + core_len + TAIL, w_hi)
+        sub = _host_walk(corpus[lo:hi], core_abs - lo)
+        rows = sub[core_abs - lo : core_abs - lo + core_len]
+        at = (jnp.int32(w), jnp.int32(HALO + core_abs - w_lo), jnp.int32(0))
+        lens_st = lax.dynamic_update_slice(
+            lens_st, jnp.asarray(rows[:, :, 0].astype(np.uint16))[None], at
+        )
+        offs_st = lax.dynamic_update_slice(
+            offs_st, jnp.asarray(rows[:, :, 1].astype(np.uint16))[None], at
+        )
+    return lens_st, offs_st
 
 
 def match_table_jax(

@@ -304,7 +304,9 @@ def _dp_scan_cost(lit_cost, osmin_k, long_cost_static, long_step,
         long_cost_static[::-1],
         lstep_idx[::-1],
     )
-    _, cost_rev = lax.scan(step, ring0, xs)
+    # unroll: the step is ~7 tiny vector ops, so the while-loop trip
+    # bookkeeping dominates; unrolling packs 8 positions per trip.
+    _, cost_rev = lax.scan(step, ring0, xs, unroll=8)
     return cost_rev[::-1]
 
 

@@ -302,6 +302,18 @@ def _bucket(n: int) -> int:
     return size
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _split_kernel_batch(win_p, rl, ro, prev, n_real, n: int):
+    """vmap of ``_split_kernel`` over a batch of window lanes — one
+    program splits every window of a batch (the level loops' latency
+    amortizes across lanes). ``prev`` is shared (the stacked lane layout
+    puts the first input byte at the same offset in every lane);
+    ``n_real`` is per-lane."""
+    return jax.vmap(
+        lambda w, l, o, nr: _split_kernel(w, l, o, prev, nr, n)
+    )(win_p, rl, ro, n_real)
+
+
 def block_split_jax(window, match_table, prev: int, in_size: int):
     """Device block split: same contract as blocks.block_split — returns
     the ascending list of block end offsets, final entry prev+in_size."""

@@ -5,10 +5,13 @@ The compression problem decomposes data-parallel over windows: after its
 (SURVEY.md §2.3, §5). The mesh therefore has two axes:
 
 * ``dp`` — windows sharded across chips (the throughput axis; scales to
-  multi-host over DCN because no per-window communication exists at all).
-* ``sp`` — bytes *within* a window sharded across chips for the
-  bandwidth-bound whole-corpus stages (histograms, checksums), reduced
-  with psum over ICI.
+  multi-host over DCN because no per-window communication exists at all —
+  demonstrated with real 2-process jax.distributed in
+  multihost.compress_windows_jax_distributed).
+* ``sp`` — bytes *within* a window sharded across chips: the window's
+  32 KB-halo segments shard over 'sp' in compression proper
+  (ops.matchfinder_jax._sharded_chunk_fn), and the bandwidth-bound
+  whole-corpus stages (histograms, checksums) reduce with psum over ICI.
 
 Per-corpus symbol statistics are psum'd; Huffman tables and cost tables
 are tiny and replicated. Checksums combine associatively

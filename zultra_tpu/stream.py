@@ -349,7 +349,12 @@ def compress(
     dictionary: bytes | None = None,
 ) -> bytes:
     """One-shot compression (reference zultra_memory_compress,
-    src/libzultra.c:601-619)."""
+    src/libzultra.c:601-619). Engines exposing ``compress_corpus`` (the
+    jaxdev batched device begin-phase) take the whole corpus at once —
+    byte-identical output, windows batched through the device."""
+    engine = get_engine()
+    if hasattr(engine, "compress_corpus"):
+        return engine.compress_corpus(data, flags, max_block_size, dictionary)
     stream = Stream(flags, max_block_size)
     if dictionary:
         stream.set_dictionary(dictionary)
