@@ -201,3 +201,19 @@ def test_compress_device_batch_grouping(lz_corpus):
     expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
     got = compress_device(data, zt.FLAG_GZIP_FRAMING, 32768, windows_per_batch=2)
     assert got == expect
+
+
+def test_compress_device_mesh_sharded(lz_corpus):
+    """The COMPOSED device begin-phase sharded over the full 8-device
+    mesh (match segments, splitter lanes, and block-plan lanes all
+    distribute over dp×sp) is byte-identical to the host stream."""
+    import zultra_tpu as zt
+    from zultra_tpu.device_pipeline import compress_device
+    from zultra_tpu.parallel import make_mesh
+
+    data = (lz_corpus["source_code"] * 40)[: 5 * 32768 + 987]
+    _set_engine("native")
+    expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+    mesh = make_mesh(n_dp=4, n_sp=2)
+    got = compress_device(data, zt.FLAG_GZIP_FRAMING, 32768, mesh=mesh)
+    assert got == expect

@@ -216,7 +216,7 @@ def emit_window_from_plan(handle: _WindowPlan, window_is_last: bool,
     return writer.get_offset(), writer.bits_data, writer.bits_count
 
 
-def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int):
+def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int, mesh=None):
     """Plan a BATCH of windows on the device in one composed pass:
     full-occupancy match-table chunks for every window's segments →
     one vmapped split kernel over all lanes → block plans bucketed
@@ -237,7 +237,7 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int):
 
     W = len(spans)
     n_lane = HALO + mbs
-    lens_st, offs_st = match_tables_device_stacked(corpus, spans, mbs)
+    lens_st, offs_st = match_tables_device_stacked(corpus, spans, mbs, mesh=mesh)
 
     win_stack = np.zeros((W, n_lane), np.uint8)
     prevs = []
@@ -254,14 +254,31 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int):
     ztail = jnp.zeros((W, n_pad_w - n_lane), jnp.int32)
     rl = jnp.concatenate([lens_st[:, :, 0].astype(jnp.int32), ztail], axis=1)
     ro = jnp.concatenate([offs_st[:, :, 0].astype(jnp.int32), ztail], axis=1)
-    n_reals = jnp.asarray(
-        np.array([HALO + (hi - lo) for lo, hi in spans], dtype=np.int32)
-    )
-    splits_arr, n_splits = _split_kernel_batch(
-        win_p, rl, ro, jnp.int32(HALO), n_reals, n_pad_w
-    )
-    splits_arr = np.asarray(splits_arr)
-    n_splits = np.asarray(n_splits)
+    n_reals_np = np.array([HALO + (hi - lo) for lo, hi in spans], dtype=np.int32)
+    if mesh is None:
+        splits_arr, n_splits = _split_kernel_batch(
+            win_p, rl, ro, jnp.int32(HALO), jnp.asarray(n_reals_np), n_pad_w
+        )
+    else:
+        from .ops.split_jax import _split_kernel_sharded
+
+        n_dev = mesh.shape["dp"] * mesh.shape["sp"]
+        W_pad = -(-W // n_dev) * n_dev
+        if W_pad > W:
+            zpad = ((0, W_pad - W), (0, 0))
+            win_p = jnp.pad(win_p, zpad)
+            rl = jnp.pad(rl, zpad)
+            ro = jnp.pad(ro, zpad)
+            # Padding lanes carry n_real = 0 → no input range, no splits.
+            n_reals_np = np.concatenate(
+                [n_reals_np, np.zeros(W_pad - W, np.int32)]
+            )
+        splits_arr, n_splits = _split_kernel_sharded(mesh, n_pad_w)(
+            win_p, rl, ro, jnp.full((1,), HALO, jnp.int32),
+            jnp.asarray(n_reals_np),
+        )
+    splits_arr = np.asarray(splits_arr)[:W]
+    n_splits = np.asarray(n_splits)[:W]
 
     # Flatten every window's blocks into one cross-window lane list.
     lanes = []
@@ -277,7 +294,7 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int):
             s = e
         spans_per_window.append(blocks)
 
-    plans_flat = plan_blocks_device_multi(win_dev, lens_st, offs_st, lanes)
+    plans_flat = plan_blocks_device_multi(win_dev, lens_st, offs_st, lanes, mesh=mesh)
 
     handles = []
     i = 0
@@ -302,12 +319,19 @@ def compress_device(
     max_block_size: int = 0,
     dictionary: bytes | None = None,
     windows_per_batch: int = 16,
+    mesh=None,
 ) -> bytes:
     """One-shot full-device compression with windows BATCHED through the
     composed begin-phase — the device-scaled form of the reference's
     one-shot API (src/libzultra.c:601-619). Byte-identical to the
     streaming core at the same block size (same window cuts, history
-    slides, BFINAL placement, stored fallback, framing)."""
+    slides, BFINAL placement, stored fallback, framing).
+
+    With ``mesh`` every device stage distributes over ALL mesh chips:
+    match segments, splitter window lanes, and block-plan lanes shard
+    over dp×sp (no collectives — the decomposition is communication-free
+    past its 32 KB halos). ``windows_per_batch`` then counts PER DEVICE
+    (the batch scales with the mesh)."""
     from . import frame
     from .constants import HISTORY_SIZE
     from .stream import StreamError, clamp_block_size, memory_bound
@@ -335,11 +359,13 @@ def compress_device(
     checksum = frame.init_checksum(flags)
     checksum = frame.update_checksum(checksum, corpus[base:], flags)
 
+    if mesh is not None:
+        windows_per_batch *= mesh.shape["dp"] * mesh.shape["sp"]
     buf = bytearray(memory_bound(mbs, flags, mbs))
     bits_data, bits_count = 0, 0
     for g in range(0, len(spans), windows_per_batch):
         group = spans[g : g + windows_per_batch]
-        handles = _begin_windows_batched(corpus, group, mbs)
+        handles = _begin_windows_batched(corpus, group, mbs, mesh=mesh)
         for i, handle in enumerate(handles):
             is_last = g + i + 1 == len(spans)
             n, bits_data, bits_count = emit_window_from_plan(

@@ -430,19 +430,23 @@ def _slice_blocks(win_ext, lens_ext, offs_ext, starts, n_pad: int):
 
 
 def _collect_plans(out, idxs, plans):
-    total_bits = np.asarray(out["total_bits"])
+    # ONE bulk device->host fetch for the whole batch — per-lane
+    # per-field fetches would pay the ~25 ms dispatch round trip
+    # hundreds of times per bucket.
+    out = jax.device_get(out)
+    total_bits = out["total_bits"]
     for b, i in enumerate(idxs):
         n_words = (int(total_bits[b]) + 31) // 32
         plans[i] = {
-            "is_dynamic": bool(np.asarray(out["is_dynamic"][b])),
-            "lit_len": np.asarray(out["lit_len"][b]),
-            "off_len": np.asarray(out["off_len"][b]),
-            "best_mask": int(np.asarray(out["best_mask"][b])),
-            "cl_len": np.asarray(out["cl_len"][b]),
-            "n_lit": int(np.asarray(out["n_lit"][b])),
-            "n_off": int(np.asarray(out["n_off"][b])),
+            "is_dynamic": bool(out["is_dynamic"][b]),
+            "lit_len": out["lit_len"][b],
+            "off_len": out["off_len"][b],
+            "best_mask": int(out["best_mask"][b]),
+            "cl_len": out["cl_len"][b],
+            "n_lit": int(out["n_lit"][b]),
+            "n_off": int(out["n_off"][b]),
             "total_bits": int(total_bits[b]),
-            "words": np.asarray(out["words"][b, :n_words]),
+            "words": out["words"][b, :n_words],
         }
 
 
@@ -500,17 +504,40 @@ def _slice_blocks_multi(win_ext, lens_ext, offs_ext, widx, starts, n_pad: int):
     return jax.vmap(one)(widx, starts)
 
 
-def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes):
+@functools.lru_cache(maxsize=None)
+def _plan_block_kernel_sharded(mesh, n_pad: int):
+    """shard_map of the batched block planner over BOTH mesh axes: block
+    lanes distribute across every chip. Blocks are fully independent
+    given their lane data (matches reference earlier bytes via offsets
+    only), so the distribution needs no collectives at all."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(("dp", "sp"))
+    step = shard_map(
+        lambda w, ml, mo, ln: _plan_block_kernel(w, ml, mo, ln, n_pad),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes, mesh=None):
     """plan_blocks over blocks drawn from a BATCH of device-resident
     window lanes: ``win_stack`` (W, n_lane) uint8, ``lens_stack``/
     ``offs_stack`` (W, n_lane, 8) uint16, ``lanes`` a list of
     (window_index, start_in_lane, length) for every block of every
     window. All blocks bucket by padded size ACROSS windows, so the
     planning kernel's serial DP scan amortizes over the whole window
-    batch instead of running once per window. Returns plans in ``lanes``
-    order."""
+    batch instead of running once per window. With ``mesh``, every
+    bucket's lanes additionally distribute across all mesh devices
+    (shard_map over dp×sp) — the composed begin-phase's chip-scaling
+    axis. Returns plans in ``lanes`` order."""
     if not lanes:
         return []
+    n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     buckets: dict[int, list[int]] = {}
     for i, (_, _, ln) in enumerate(lanes):
         buckets.setdefault(_bucket(ln), []).append(i)
@@ -525,7 +552,7 @@ def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes):
 
     plans: list[dict | None] = [None] * len(lanes)
     for n_pad, idxs in sorted(buckets.items()):
-        B = 1
+        B = n_dev
         while B < len(idxs):
             B *= 2
         widx = np.zeros(B, np.int32)
@@ -537,7 +564,12 @@ def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes):
             win_ext, lens_ext, offs_ext, jnp.asarray(widx), jnp.asarray(starts),
             n_pad,
         )
-        out = _plan_block_kernel(win, ml, mo, jnp.asarray(lengths), n_pad)
+        if mesh is None:
+            out = _plan_block_kernel(win, ml, mo, jnp.asarray(lengths), n_pad)
+        else:
+            out = _plan_block_kernel_sharded(mesh, n_pad)(
+                win, ml, mo, jnp.asarray(lengths)
+            )
         _collect_plans(out, idxs, plans)
     return plans
 

@@ -573,7 +573,7 @@ def _assemble_stacked(lens_all, offs_all, in_sizes, W: int, k: int,
 
 
 def match_tables_device_stacked(corpus: np.ndarray, spans, mbs: int,
-                                budget_factor: int | None = None):
+                                budget_factor: int | None = None, mesh=None):
     """Device-RESIDENT match tables for a BATCH of window spans, stacked
     into one uniform lane layout: returns (lens, offs) of shape
     (W, HALO+mbs, 8) uint16 where lane w's rows [HALO, HALO+in_size_w)
@@ -597,20 +597,36 @@ def match_tables_device_stacked(corpus: np.ndarray, spans, mbs: int,
     segbufs, metas = build_segments(corpus, spans, seg_core)
     S, L = segbufs.shape
 
-    lens_c, offs_c, over_c = [], [], []
-    for i in range(0, S, VMAP_CHUNK):
-        chunk = segbufs[i : i + VMAP_CHUNK]
-        n_real = chunk.shape[0]
-        if n_real < VMAP_CHUNK:
-            pad = np.broadcast_to(chunk[-1], (VMAP_CHUNK - n_real, L))
-            chunk = np.concatenate([chunk, pad])
-        cl, co, cv = _chunk_kernel(jnp.asarray(chunk), L, budget, HALO, seg_core)
-        lens_c.append(cl[:n_real])
-        offs_c.append(co[:n_real])
-        over_c.append(cv[:n_real])
+    if mesh is None:
+        lens_c, offs_c, over_c = [], [], []
+        for i in range(0, S, VMAP_CHUNK):
+            chunk = segbufs[i : i + VMAP_CHUNK]
+            n_real = chunk.shape[0]
+            if n_real < VMAP_CHUNK:
+                pad = np.broadcast_to(chunk[-1], (VMAP_CHUNK - n_real, L))
+                chunk = np.concatenate([chunk, pad])
+            cl, co, cv = _chunk_kernel(jnp.asarray(chunk), L, budget, HALO, seg_core)
+            lens_c.append(cl[:n_real])
+            offs_c.append(co[:n_real])
+            over_c.append(cv[:n_real])
+        lens_all = jnp.concatenate(lens_c)[:S]
+        offs_all = jnp.concatenate(offs_c)[:S]
+        over_c = [jnp.concatenate(over_c)[:S]]
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    lens_all = jnp.concatenate(lens_c)
-    offs_all = jnp.concatenate(offs_c)
+        n_dev = mesh.shape["dp"] * mesh.shape["sp"]
+        S_pad = -(-S // n_dev) * n_dev
+        bufs = segbufs
+        if S_pad > S:
+            pad = np.broadcast_to(bufs[-1], (S_pad - S, L))
+            bufs = np.concatenate([bufs, pad])
+        step = _sharded_chunk_fn(mesh, L, budget, HALO, seg_core)
+        arr = jax.device_put(jnp.asarray(bufs), NamedSharding(mesh, P(("dp", "sp"))))
+        lens_all, offs_all, over_all = step(arr)
+        lens_all = lens_all[:S]
+        offs_all = offs_all[:S]
+        over_c = [over_all[:S]]
     pad_lanes = W * k - S  # the last window's missing segments
     if pad_lanes:
         z = jnp.zeros((pad_lanes, seg_core, NMATCHES_PER_OFFSET), jnp.uint16)

@@ -314,6 +314,25 @@ def _split_kernel_batch(win_p, rl, ro, prev, n_real, n: int):
     )(win_p, rl, ro, n_real)
 
 
+@functools.lru_cache(maxsize=None)
+def _split_kernel_sharded(mesh, n: int):
+    """shard_map of the batched splitter over BOTH mesh axes: window
+    lanes distribute across every chip (the splitter is compute-bound
+    per lane, so lanes-across-chips is its scaling axis)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(("dp", "sp"))
+    step = shard_map(
+        lambda w, l, o, p, nr: _split_kernel_batch(w, l, o, p[0], nr, n),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P(None), spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 def block_split_jax(window, match_table, prev: int, in_size: int):
     """Device block split: same contract as blocks.block_split — returns
     the ascending list of block end offsets, final entry prev+in_size."""
