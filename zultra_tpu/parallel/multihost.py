@@ -201,11 +201,15 @@ def stitch_window_plans(blobs, flags, data, max_block_size: int) -> bytes:
     return bytes(out)
 
 
+# Corpus handoff to forked planner workers: fork children inherit the
+# parent's memory, so the data needs no file/pipe round trip at all —
+# a 16 MiB shard would otherwise pay a write+read per measurement.
+_FORK_DATA = None
+
+
 def _plan_span_worker(args):
-    path, spans, n_threads = args
-    with open(path, "rb") as f:
-        data = f.read()
-    return plan_window_span(data, spans, n_threads)
+    spans, n_threads = args
+    return plan_window_span(_FORK_DATA, spans, n_threads)
 
 
 def compress_windows_multihost(
@@ -215,10 +219,10 @@ def compress_windows_multihost(
     worker processes (the pod equivalent: one span per host over DCN,
     blobs gathered to host 0). Byte-identical to the one-process stream."""
     import multiprocessing as mp
-    import tempfile
 
     from ..stream import clamp_block_size
 
+    global _FORK_DATA
     max_block_size = clamp_block_size(max_block_size)
     spans = window_spans(len(data), max_block_size)
     if workers <= 1 or len(spans) == 1:
@@ -229,14 +233,13 @@ def compress_windows_multihost(
     per = -(-len(spans) // workers)
     chunks = [spans[i : i + per] for i in range(0, len(spans), per)]
 
-    with tempfile.NamedTemporaryFile(suffix=".zultra_corpus") as f:
-        f.write(data)
-        f.flush()
+    _FORK_DATA = data
+    try:
         ctx = mp.get_context("fork")
         with ctx.Pool(len(chunks)) as pool:
-            blob_lists = pool.map(
-                _plan_span_worker, [(f.name, c, 1) for c in chunks]
-            )
+            blob_lists = pool.map(_plan_span_worker, [(c, 1) for c in chunks])
+    finally:
+        _FORK_DATA = None
     blobs = [b for lst in blob_lists for b in lst]
     return stitch_window_plans(blobs, flags, data, max_block_size)
 
