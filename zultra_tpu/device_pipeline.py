@@ -138,7 +138,7 @@ def begin_window_device(window: np.ndarray, prev: int, in_size: int,
     from .ops.block_jax import plan_blocks_device
     from .ops.matchfinder_jax import match_table_device
     from .ops.split_jax import _bucket as _split_bucket
-    from .ops.split_jax import _split_kernel
+    from .ops.split_jax import _input_cap, _split_kernel
 
     lens, offs = match_table_device(window, prev, n)
     win_dev = jnp.asarray(window[:n])
@@ -149,7 +149,8 @@ def begin_window_device(window: np.ndarray, prev: int, in_size: int,
     rl = jnp.concatenate([lens[:, 0].astype(jnp.int32), tail])
     ro = jnp.concatenate([offs[:, 0].astype(jnp.int32), tail])
     splits_arr, n_splits = _split_kernel(
-        win_p, rl, ro, jnp.int32(prev), jnp.int32(n), n_pad_w
+        win_p, rl, ro, jnp.int32(prev), jnp.int32(n), n_pad_w,
+        _input_cap(in_size),
     )
     splits = [int(x) for x in np.asarray(splits_arr[: int(n_splits)])]
     splits.append(n)
@@ -233,7 +234,11 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int, mesh=None):
     from .constants import HISTORY_SIZE
     from .ops.block_jax import plan_blocks_device_multi
     from .ops.matchfinder_jax import HALO, match_tables_device_stacked
-    from .ops.split_jax import _bucket as _split_bucket, _split_kernel_batch
+    from .ops.split_jax import (
+        _bucket as _split_bucket,
+        _input_cap,
+        _split_kernel_batch,
+    )
 
     W = len(spans)
     n_lane = HALO + mbs
@@ -257,7 +262,8 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int, mesh=None):
     n_reals_np = np.array([HALO + (hi - lo) for lo, hi in spans], dtype=np.int32)
     if mesh is None:
         splits_arr, n_splits = _split_kernel_batch(
-            win_p, rl, ro, jnp.int32(HALO), jnp.asarray(n_reals_np), n_pad_w
+            win_p, rl, ro, jnp.int32(HALO), jnp.asarray(n_reals_np), n_pad_w,
+            _input_cap(mbs),
         )
     else:
         from .ops.split_jax import _split_kernel_sharded
@@ -273,7 +279,7 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int, mesh=None):
             n_reals_np = np.concatenate(
                 [n_reals_np, np.zeros(W_pad - W, np.int32)]
             )
-        splits_arr, n_splits = _split_kernel_sharded(mesh, n_pad_w)(
+        splits_arr, n_splits = _split_kernel_sharded(mesh, n_pad_w, _input_cap(mbs))(
             win_p, rl, ro, jnp.full((1,), HALO, jnp.int32),
             jnp.asarray(n_reals_np),
         )

@@ -116,12 +116,19 @@ def _token_structure(window, row_len, row_off, prev, n_real, n: int):
     return n_tok, starts, ends, bucket_t, sym1_t, sym2_t
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _split_kernel(window, row_len, row_off, prev, n_real, n: int):
+@functools.partial(jax.jit, static_argnames=("n", "in_cap"))
+def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
+                  in_cap: int | None = None):
     """Split points for the window range [prev, n_real). ``n`` is the
     static padded buffer size (few compiled shapes); prev/n_real are
-    traced. Returns (splits (64,) int32 ascending with INF padding,
-    n_splits)."""
+    traced. ``in_cap`` (static) bounds the INPUT bytes (n_real - prev) —
+    tokens and checkpoint candidates can never exceed it, so passing the
+    stream's max block size (instead of the padded buffer size) shrinks
+    the candidate batch the MK cost estimator runs on, which is where
+    the splitter's device time goes. Returns (splits (64,) int32
+    ascending with INF padding, n_splits)."""
+    if in_cap is None:
+        in_cap = n
     n_tok, starts, ends, bucket_t, sym1_t, sym2_t = _token_structure(
         window, row_len, row_off, prev, n_real, n
     )
@@ -169,7 +176,7 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int):
         part = part.at[lane, s2].add(1)
         return h + part[:, :NBINS]
 
-    C_cap = n // 256 + MAX_RANGES  # flat candidate capacity per level
+    C_cap = in_cap // 256 + MAX_RANGES  # flat candidate capacity per level
 
     # Range state.
     r_bs = jnp.full(MAX_RANGES, 0, jnp.int32).at[0].set(prev)
@@ -302,20 +309,21 @@ def _bucket(n: int) -> int:
     return size
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _split_kernel_batch(win_p, rl, ro, prev, n_real, n: int):
+@functools.partial(jax.jit, static_argnames=("n", "in_cap"))
+def _split_kernel_batch(win_p, rl, ro, prev, n_real, n: int,
+                        in_cap: int | None = None):
     """vmap of ``_split_kernel`` over a batch of window lanes — one
     program splits every window of a batch (the level loops' latency
     amortizes across lanes). ``prev`` is shared (the stacked lane layout
     puts the first input byte at the same offset in every lane);
     ``n_real`` is per-lane."""
     return jax.vmap(
-        lambda w, l, o, nr: _split_kernel(w, l, o, prev, nr, n)
+        lambda w, l, o, nr: _split_kernel(w, l, o, prev, nr, n, in_cap)
     )(win_p, rl, ro, n_real)
 
 
 @functools.lru_cache(maxsize=None)
-def _split_kernel_sharded(mesh, n: int):
+def _split_kernel_sharded(mesh, n: int, in_cap: int | None = None):
     """shard_map of the batched splitter over BOTH mesh axes: window
     lanes distribute across every chip (the splitter is compute-bound
     per lane, so lanes-across-chips is its scaling axis)."""
@@ -324,13 +332,22 @@ def _split_kernel_sharded(mesh, n: int):
 
     spec = P(("dp", "sp"))
     step = shard_map(
-        lambda w, l, o, p, nr: _split_kernel_batch(w, l, o, p[0], nr, n),
+        lambda w, l, o, p, nr: _split_kernel_batch(w, l, o, p[0], nr, n, in_cap),
         mesh=mesh,
         in_specs=(spec, spec, spec, P(None), spec),
         out_specs=(spec, spec),
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def _input_cap(in_size: int) -> int:
+    """Static candidate-capacity bucket for ``in_size`` input bytes
+    (pow2, ≥ the smallest legal block size → few compiled shapes)."""
+    cap = 32768
+    while cap < in_size:
+        cap *= 2
+    return cap
 
 
 def block_split_jax(window, match_table, prev: int, in_size: int):
@@ -348,7 +365,7 @@ def block_split_jax(window, match_table, prev: int, in_size: int):
     ro[:n] = mt[:n, 0, 1]
     splits, n_splits = _split_kernel(
         jnp.asarray(win_p), jnp.asarray(rl), jnp.asarray(ro),
-        jnp.int32(prev), jnp.int32(n), n_pad,
+        jnp.int32(prev), jnp.int32(n), n_pad, _input_cap(in_size),
     )
     out = [int(x) for x in np.asarray(splits[: int(n_splits)])]
     out.append(n)
