@@ -187,7 +187,10 @@ def main() -> int:
             prev_engine = zt.get_engine()
             engine_mod.set_engine("jaxdev")
             try:
-                zt.compress(jslice[: 256 << 10], zt.FLAG_GZIP_FRAMING, jbs)  # warm
+                # Warm at the MEASURED shape — batch kernels key on the
+                # window-batch size, so a smaller warm slice would leave
+                # the real shapes cold.
+                zt.compress(jslice, zt.FLAG_GZIP_FRAMING, jbs)
                 FALLBACK_STATS["segments"] = FALLBACK_STATS["overflowed"] = 0
                 t0 = time.perf_counter()
                 jblob = zt.compress(jslice, zt.FLAG_GZIP_FRAMING, jbs)

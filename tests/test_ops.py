@@ -948,3 +948,36 @@ def test_mask_search_jax_equals_host():
         assert got_nlit[b] == n_lit and got_noff[b] == n_off
         assert got_mask[b] == best_mask, (b, got_mask[b], best_mask)
         assert np.array_equal(got_cl[b], np.array(te.code_length[:NCODELENSYMS])), b
+
+
+def test_symbol_map_closed_forms_match_tables():
+    """The VPU closed forms equal the generated RFC tables for EVERY
+    index (lengths 0..255; offset indices 0..509 — 510/511 are
+    unreachable under the masks every caller applies)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zultra_tpu.constants import (
+        MATCHLEN_BASE,
+        MATCHLEN_EXTRA_BITS,
+        MATCHLEN_SYMBOL,
+        OFFSET_BASE,
+        OFFSET_EXTRA_BITS,
+        OFFSET_SYMBOL,
+    )
+    from zultra_tpu.ops.symbol_map import (
+        matchlen_sym_extra_base,
+        offset_sym_extra_base,
+    )
+
+    e = jnp.arange(256, dtype=jnp.int32)
+    sym, extra, base = matchlen_sym_extra_base(e)
+    assert np.array_equal(np.asarray(sym), np.asarray(MATCHLEN_SYMBOL))
+    assert np.array_equal(np.asarray(extra), np.asarray(MATCHLEN_EXTRA_BITS))
+    assert np.array_equal(np.asarray(base), np.asarray(MATCHLEN_BASE))
+
+    oidx = jnp.arange(510, dtype=jnp.int32)
+    sym, extra, base = offset_sym_extra_base(oidx)
+    assert np.array_equal(np.asarray(sym), np.asarray(OFFSET_SYMBOL)[:510])
+    assert np.array_equal(np.asarray(extra), np.asarray(OFFSET_EXTRA_BITS)[:510])
+    assert np.array_equal(np.asarray(base), np.asarray(OFFSET_BASE)[:510])

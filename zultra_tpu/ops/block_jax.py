@@ -49,9 +49,6 @@ from jax import lax
 
 from ..constants import (
     LEAVE_ALONE_MATCH_SIZE,
-    MATCHLEN_BASE,
-    MATCHLEN_EXTRA_BITS,
-    MATCHLEN_SYMBOL,
     MAX_OFFSET,
     MIN_MATCH_SIZE,
     MIN_OFFSET,
@@ -59,9 +56,6 @@ from ..constants import (
     NLITERALSYMS,
     NMATCHES_PER_OFFSET,
     NOFFSETSYMS,
-    OFFSET_BASE,
-    OFFSET_EXTRA_BITS,
-    OFFSET_SYMBOL,
     static_literal_code_lengths,
     static_offset_code_lengths,
 )
@@ -80,6 +74,11 @@ from .parse_wavefront import (
     _osmin_k,
     _prep,
     _select_pass,
+)
+from .symbol_map import (
+    matchlen_sym_extra_base,
+    offset_sym_extra_base,
+    select_by_symbol,
 )
 
 CONVERGENCE_PASSES = 3
@@ -125,26 +124,12 @@ def _chain_mask(step: jnp.ndarray, length: jnp.ndarray, n: int) -> jnp.ndarray:
     return (mark[:, :n] == 1) & (idx < length[:, None])
 
 
-def _sym_tables():
-    # Constants — materialized per trace (caching them across traces
-    # would leak tracers into unrelated jits).
-    return (
-        jnp.asarray(np.asarray(MATCHLEN_SYMBOL, dtype=np.int32)),
-        jnp.asarray(np.asarray(MATCHLEN_EXTRA_BITS, dtype=np.int32)),
-        jnp.asarray(np.asarray(MATCHLEN_BASE, dtype=np.int32)),
-        jnp.asarray(np.asarray(OFFSET_SYMBOL, dtype=np.int32)),
-        jnp.asarray(np.asarray(OFFSET_EXTRA_BITS, dtype=np.int32)),
-        jnp.asarray(np.asarray(OFFSET_BASE, dtype=np.int32)),
-    )
-
-
 def _token_hist(window, lens, offs, length, n: int):
     """Batched greedy/final token entropy — accumulate_token_entropy
     (parse.py:143-172): walk the (lens, offs) hop structure from 0,
     histogram literal/length and offset symbols, EOD += 1. Matches
     crossing ``length`` count in full."""
     B = window.shape[0]
-    len_sym, _, _, off_sym, _, _ = _sym_tables()
     is_match = lens >= MIN_MATCH_SIZE
     step = jnp.where(is_match, lens, 1)
     is_tok = _chain_mask(step, length, n)
@@ -153,8 +138,10 @@ def _token_hist(window, lens, offs, length, n: int):
     raw_off = jnp.maximum(offs - 1, 0)
     oidx = jnp.where(raw_off < 256, raw_off, 256 + ((raw_off - 256) >> 7))
     oidx = jnp.clip(oidx, 0, 511)
-    sym1 = jnp.where(is_match, len_sym[e], window.astype(jnp.int32))
-    sym2 = jnp.where(is_match & is_tok, off_sym[oidx], NOFFSETSYMS)
+    len_sym_e, _, _ = matchlen_sym_extra_base(e)
+    off_sym_o, _, _ = offset_sym_extra_base(oidx)
+    sym1 = jnp.where(is_match, len_sym_e, window.astype(jnp.int32))
+    sym2 = jnp.where(is_match & is_tok, off_sym_o, NOFFSETSYMS)
 
     lane = jnp.arange(B)[:, None]
     lit_hist = jnp.zeros((B, NLITERALSYMS + 1), jnp.int32).at[
@@ -207,7 +194,6 @@ def _post_optimize_full(best_len, best_off, window, lit_len_tbl, off_len_tbl,
     scan can only keep the match in those cases); chosen spans are
     disjoint tokens, so covered positions resolve with one cummax."""
     B = window.shape[0]
-    len_sym, len_extra, _, off_sym, off_extra, _ = _sym_tables()
     pos = jnp.arange(n, dtype=jnp.int32)[None, :]
 
     is_match = best_len >= MIN_MATCH_SIZE
@@ -230,9 +216,11 @@ def _post_optimize_full(best_len, best_off, window, lit_len_tbl, off_len_tbl,
     raw_off = jnp.maximum(best_off - 1, 0)
     oidx = jnp.where(raw_off < 256, raw_off, 256 + ((raw_off - 256) >> 7))
     oidx = jnp.clip(oidx, 0, 511)
+    ls, le, _ = matchlen_sym_extra_base(e)
+    osym, oe, _ = offset_sym_extra_base(oidx)
     match_cost = (
-        jnp.take_along_axis(lit_len_tbl, len_sym[e], axis=1) + len_extra[e]
-        + jnp.take_along_axis(off_len_tbl, off_sym[oidx], axis=1) + off_extra[oidx]
+        select_by_symbol(lit_len_tbl, ls, 257, 286, 0) + le
+        + select_by_symbol(off_len_tbl, osym, 0, 30, 0) + oe
     )
 
     span_end = jnp.minimum(pos + best_len, n)
@@ -251,7 +239,6 @@ def _emit_tokens(window, best_len, best_off, lit_cw, lit_len, off_cw, off_len,
     with a traced per-lane block length. Returns (words (B, W) uint32,
     total_bits (B,))."""
     B = window.shape[0]
-    len_sym, len_extra, len_base, off_sym, off_extra, off_base = _sym_tables()
     lane = jnp.arange(B)[:, None]
 
     is_m = best_len >= MIN_MATCH_SIZE
@@ -260,23 +247,23 @@ def _emit_tokens(window, best_len, best_off, lit_cw, lit_len, off_cw, off_len,
     is_match = is_tok & is_m
 
     e = jnp.clip(best_len - MIN_MATCH_SIZE, 0, 255)
-    ls = len_sym[e]
     raw_off = jnp.maximum(best_off - 1, 0)
     oidx = jnp.where(raw_off < 256, raw_off, 256 + ((raw_off - 256) >> 7))
     oidx = jnp.clip(oidx, 0, 511)
-    osym = off_sym[oidx]
+    ls, len_extra_e, len_base_e = matchlen_sym_extra_base(e)
+    osym, off_extra_o, off_base_o = offset_sym_extra_base(oidx)
 
     byte = window.astype(jnp.int32)
     lit_v = jnp.take_along_axis(lit_cw, byte, axis=1)
     lit_n = jnp.take_along_axis(lit_len, byte, axis=1)
-    m1_v = jnp.take_along_axis(lit_cw, ls, axis=1) | (
-        (e - len_base[e]) << jnp.take_along_axis(lit_len, ls, axis=1)
+    m1_v = select_by_symbol(lit_cw, ls, 257, 286, 0) | (
+        (e - len_base_e) << select_by_symbol(lit_len, ls, 257, 286, 0)
     )
-    m1_n = jnp.take_along_axis(lit_len, ls, axis=1) + len_extra[e]
-    m2_v = jnp.take_along_axis(off_cw, osym, axis=1) | (
-        (best_off - off_base[oidx]) << jnp.take_along_axis(off_len, osym, axis=1)
+    m1_n = select_by_symbol(lit_len, ls, 257, 286, 0) + len_extra_e
+    m2_v = select_by_symbol(off_cw, osym, 0, 30, 0) | (
+        (best_off - off_base_o) << select_by_symbol(off_len, osym, 0, 30, 0)
     )
-    m2_n = jnp.take_along_axis(off_len, osym, axis=1) + off_extra[oidx]
+    m2_n = select_by_symbol(off_len, osym, 0, 30, 0) + off_extra_o
 
     lane1_v = jnp.where(is_match, m1_v, jnp.where(is_tok, lit_v, 0))
     lane1_n = jnp.where(is_match, m1_n, jnp.where(is_tok, lit_n, 0))

@@ -48,8 +48,6 @@ from ..constants import (
     MATCHLEN_SYMBOL,
     MIN_MATCH_SIZE,
     NMATCHES_PER_OFFSET,
-    OFFSET_EXTRA_BITS,
-    OFFSET_SYMBOL,
 )
 
 INF = jnp.int32(1 << 27)
@@ -64,10 +62,16 @@ def _varlen_tables(lit_lens):
 
 
 def _prep(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
-    """Shared per-position statics for both DP formulations."""
+    """Shared per-position statics for both DP formulations. All RFC
+    symbol maps run as closed-form VPU arithmetic + small selects
+    (ops/symbol_map) — no (n, 8)-shaped table gathers."""
+    from .symbol_map import (
+        matchlen_sym_extra_base,
+        offset_sym_extra_base,
+        select_by_symbol,
+    )
+
     _, _, varlen_by_e = _varlen_tables(lit_lens)
-    off_sym = jnp.asarray(np.asarray(OFFSET_SYMBOL))
-    off_extra = jnp.asarray(np.asarray(OFFSET_EXTRA_BITS))
 
     idx = jnp.arange(n_pad, dtype=jnp.int32)
     in_block = idx < length
@@ -81,12 +85,15 @@ def _prep(lit_lens, off_lens, window, mlens, moffs, length, n_pad):
     oidx_raw = moffs - 1
     oidx = jnp.where(oidx_raw < 256, oidx_raw, 256 + ((oidx_raw - 256) >> 7))
     oidx = jnp.clip(oidx, 0, 511)
-    osize = off_lens[off_sym[oidx]] + off_extra[oidx]  # (n, 8)
+    osym, oextra, _ = offset_sym_extra_base(oidx)
+    osize = select_by_symbol(off_lens, osym, 0, 30, 0) + oextra  # (n, 8)
 
     long_mask = valid & (mlens >= LEAVE_ALONE_MATCH_SIZE)
     e_raw = clamped - MIN_MATCH_SIZE
     e = jnp.where((e_raw < 0) | (e_raw > 255), 255, e_raw)
-    long_cost_static = jnp.where(long_mask, varlen_by_e[e] + osize, INF)
+    lsym, lextra, _ = matchlen_sym_extra_base(e)
+    varlen_e = select_by_symbol(lit_lens, lsym, 257, 286, 0) + lextra
+    long_cost_static = jnp.where(long_mask, varlen_e + osize, INF)
     long_step = jnp.where(long_mask, jnp.maximum(clamped, 1), 1)  # cost[i+step]
 
     short_mask = valid & (mlens < LEAVE_ALONE_MATCH_SIZE)

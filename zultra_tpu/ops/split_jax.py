@@ -48,12 +48,10 @@ import numpy as np
 from jax import lax
 
 from ..constants import (
-    MATCHLEN_SYMBOL,
     MIN_MATCH_SIZE,
     NEODMARKERSYM,
     NLITERALSYMS,
     NOFFSETSYMS,
-    OFFSET_SYMBOL,
     MAX_SPLITS,
 )
 from .entropy_jax import dynamic_cost
@@ -88,16 +86,19 @@ def _token_structure(window, row_len, row_off, prev, n_real, n: int):
         jmp = jmp[jmp]
     is_tok = (mark[:n] == 1) & (idx >= prev) & (idx < n_real)
 
-    # Token symbols / buckets at every position (masked by is_tok later).
-    len_sym = jnp.asarray(np.asarray(MATCHLEN_SYMBOL, dtype=np.int32))
-    off_sym = jnp.asarray(np.asarray(OFFSET_SYMBOL, dtype=np.int32))
+    # Token symbols / buckets at every position (masked by is_tok later);
+    # symbol maps as closed-form VPU arithmetic (ops/symbol_map).
+    from .symbol_map import matchlen_sym_extra_base, offset_sym_extra_base
+
     e = jnp.clip(row_len - MIN_MATCH_SIZE, 0, 255)
     raw_off = jnp.maximum(row_off - 1, 0)
     oidx = jnp.where(raw_off < 256, raw_off, 256 + ((raw_off - 256) >> 7))
     oidx = jnp.clip(oidx, 0, 511)
+    len_sym_e, _, _ = matchlen_sym_extra_base(e)
+    off_sym_o, _, _ = offset_sym_extra_base(oidx)
     byte = window.astype(jnp.int32)
-    sym1 = jnp.where(is_match, len_sym[e], byte)
-    sym2 = jnp.where(is_match, NLITERALSYMS + off_sym[oidx], NBINS)  # NBINS = drop
+    sym1 = jnp.where(is_match, len_sym_e, byte)
+    sym2 = jnp.where(is_match, NLITERALSYMS + off_sym_o, NBINS)  # NBINS = drop
     bucket = jnp.where(
         is_match,
         jnp.where(row_len >= 9, 17, 16),
