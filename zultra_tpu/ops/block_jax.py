@@ -124,15 +124,18 @@ def _chain_mask(step: jnp.ndarray, length: jnp.ndarray, n: int) -> jnp.ndarray:
     return (mark[:, :n] == 1) & (idx < length[:, None])
 
 
-def _token_hist(window, lens, offs, length, n: int):
+def _token_hist(window, lens, offs, length, n: int, is_tok=None):
     """Batched greedy/final token entropy — accumulate_token_entropy
     (parse.py:143-172): walk the (lens, offs) hop structure from 0,
     histogram literal/length and offset symbols, EOD += 1. Matches
-    crossing ``length`` count in full."""
+    crossing ``length`` count in full. Returns (lit_hist, off_hist,
+    is_tok) so callers can reuse the (expensive, 17-round) chain walk
+    when the hop structure is unchanged."""
     B = window.shape[0]
     is_match = lens >= MIN_MATCH_SIZE
     step = jnp.where(is_match, lens, 1)
-    is_tok = _chain_mask(step, length, n)
+    if is_tok is None:
+        is_tok = _chain_mask(step, length, n)
 
     e = jnp.clip(lens - MIN_MATCH_SIZE, 0, 255)
     raw_off = jnp.maximum(offs - 1, 0)
@@ -151,7 +154,7 @@ def _token_hist(window, lens, offs, length, n: int):
     off_hist = jnp.zeros((B, NOFFSETSYMS + 1), jnp.int32).at[
         lane, sym2
     ].add(1)[:, :NOFFSETSYMS]
-    return lit_hist, off_hist
+    return lit_hist, off_hist, is_tok
 
 
 def _run_dp(lit_lens, off_lens, window, mlens, moffs, length, n_pad: int):
@@ -187,18 +190,21 @@ def _offset_workaround(off_hist):
 
 
 def _post_optimize_full(best_len, best_off, window, lit_len_tbl, off_len_tbl,
-                        length, n: int):
+                        length, n: int, is_tok):
     """Batched match→literal demotion — post_optimize (parse.py:175-216).
     A match demotes iff its span's literal cost sum is below the match
     cost and the span holds no zero-length literal (the host's early-exit
     scan can only keep the match in those cases); chosen spans are
-    disjoint tokens, so covered positions resolve with one cummax."""
+    disjoint tokens, so covered positions resolve with one cummax.
+    ``is_tok`` is the (best_len, best_off) chain's token mask (reused
+    from the final convergence pass — same hop structure). Returns
+    (demoted best_len, covered mask): after demotion the chain visits
+    every covered position as a literal, so the emission token mask is
+    ``is_tok | covered`` with no new walk."""
     B = window.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)[None, :]
 
     is_match = best_len >= MIN_MATCH_SIZE
-    step = jnp.where(is_match, best_len, 1)
-    is_tok = _chain_mask(step, length, n)
     tok_match = is_tok & is_match & (best_off >= MIN_OFFSET) & (best_off <= MAX_OFFSET)
 
     lit_costs = jnp.take_along_axis(
@@ -230,20 +236,22 @@ def _post_optimize_full(best_len, best_off, window, lit_len_tbl, off_len_tbl,
 
     dem_end = lax.cummax(jnp.where(demote, span_end, 0), axis=1)
     covered = pos < dem_end
-    return jnp.where(covered, 0, best_len)
+    return jnp.where(covered, 0, best_len), covered
 
 
 def _emit_tokens(window, best_len, best_off, lit_cw, lit_len, off_cw, off_len,
-                 length, n: int):
+                 length, n: int, is_tok=None):
     """Batched token emission at bit phase 0 — the emit_jax construction
-    with a traced per-lane block length. Returns (words (B, W) uint32,
-    total_bits (B,))."""
+    with a traced per-lane block length. ``is_tok`` (optional) reuses a
+    precomputed token mask for (best_len, best_off)'s hop structure.
+    Returns (words (B, W) uint32, total_bits (B,))."""
     B = window.shape[0]
     lane = jnp.arange(B)[:, None]
 
     is_m = best_len >= MIN_MATCH_SIZE
-    step = jnp.where(is_m, best_len, 1)
-    is_tok = _chain_mask(step, length, n)
+    if is_tok is None:
+        step = jnp.where(is_m, best_len, 1)
+        is_tok = _chain_mask(step, length, n)
     is_match = is_tok & is_m
 
     e = jnp.clip(best_len - MIN_MATCH_SIZE, 0, 255)
@@ -306,7 +314,7 @@ def _plan_block_kernel(window, mlens, moffs, length, n_pad: int):
     static_off_cw = jnp.asarray(_STATIC_OFF_CW)
 
     # Greedy entropy over match-table row 0 → static/dynamic choice.
-    g_lit, g_off = _token_hist(window, mlens[:, :, 0], moffs[:, :, 0], length, n_pad)
+    g_lit, g_off, _ = _token_hist(window, mlens[:, :, 0], moffs[:, :, 0], length, n_pad)
     st_cost = static_cost(g_lit, g_off)
     dy_cost = dynamic_cost(g_lit, g_off)
     is_dyn = st_cost > dy_cost  # not (static <= dynamic)
@@ -317,8 +325,10 @@ def _plan_block_kernel(window, mlens, moffs, length, n_pad: int):
 
     # 3+1 convergence passes as ONE fori_loop body (a Python-unrolled
     # loop would quadruple the compiled DP subgraph — ~4x compile time).
+    # The final pass's token mask rides the carry so post-optimize and
+    # emission never re-walk the chain.
     def conv_pass(p, state):
-        lit_len, off_len, best_len, best_off, f_lit, f_off = state
+        lit_len, off_len, best_len, best_off, f_lit, f_off, _ = state
         ll = jnp.where(is_dyn[:, None], lit_len, static_lit_len[None, :])
         ol = jnp.where(is_dyn[:, None], off_len, static_off_len[None, :])
         # Unused codewords get a default cost so the optimizer may adopt
@@ -326,28 +336,31 @@ def _plan_block_kernel(window, mlens, moffs, length, n_pad: int):
         ll = jnp.where(ll == 0, 9, ll)
         ol = jnp.where(ol == 0, 6, ol)
         best_len, best_off = _run_dp(ll, ol, window, mlens, moffs, length, n_pad)
-        f_lit, f_off = _token_hist(window, best_len, best_off, length, n_pad)
+        f_lit, f_off, is_tok = _token_hist(window, best_len, best_off, length, n_pad)
         f_off = lax.cond(
             p == CONVERGENCE_PASSES, _offset_workaround, lambda h: h, f_off
         )
         lit_len = build_lengths(f_lit, 15)
         off_len = build_lengths(f_off, 15)
-        return lit_len, off_len, best_len, best_off, f_lit, f_off
+        return lit_len, off_len, best_len, best_off, f_lit, f_off, is_tok
 
     state0 = (
         lit_len, off_len,
         jnp.zeros((B, n_pad), jnp.int32), jnp.zeros((B, n_pad), jnp.int32),
-        g_lit, g_off,
+        g_lit, g_off, jnp.zeros((B, n_pad), jnp.bool_),
     )
-    lit_len, off_len, best_len, best_off, f_lit, f_off = lax.fori_loop(
+    lit_len, off_len, best_len, best_off, f_lit, f_off, is_tok = lax.fori_loop(
         0, CONVERGENCE_PASSES + 1, conv_pass, state0
     )
 
     # Match→literal demotion under the final lengths (dynamic only).
-    demoted = _post_optimize_full(
-        best_len, best_off, window, lit_len, off_len, length, n_pad
+    # Demoted spans re-enter the chain as literal runs, so the emission
+    # token mask is the carried mask plus the covered positions.
+    demoted, covered = _post_optimize_full(
+        best_len, best_off, window, lit_len, off_len, length, n_pad, is_tok
     )
     best_len = jnp.where(is_dyn[:, None], demoted, best_len)
+    emit_tok = jnp.where(is_dyn[:, None], is_tok | covered, is_tok)
 
     # Zopfli RLE histogram A/B test.
     cur_cost = dynamic_cost_given(f_lit, f_off, lit_len, off_len)
@@ -374,7 +387,7 @@ def _plan_block_kernel(window, mlens, moffs, length, n_pad: int):
     off_len_f = jnp.where(is_dyn[:, None], off_len, static_off_len[None, :])
     words, total_bits = _emit_tokens(
         window, best_len, best_off, lit_cw, lit_len_f, off_cw, off_len_f,
-        length, n_pad,
+        length, n_pad, emit_tok,
     )
     return {
         "is_dynamic": is_dyn,
