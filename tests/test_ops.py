@@ -981,3 +981,28 @@ def test_symbol_map_closed_forms_match_tables():
     assert np.array_equal(np.asarray(sym), np.asarray(OFFSET_SYMBOL)[:510])
     assert np.array_equal(np.asarray(extra), np.asarray(OFFSET_EXTRA_BITS)[:510])
     assert np.array_equal(np.asarray(base), np.asarray(OFFSET_BASE)[:510])
+
+
+def test_split_jax_trigger_overflow_fallback():
+    """Adversarial drift data (disjoint bucket sets alternating every
+    512 bytes, all-literal) floods the per-level trigger count past the
+    compact capacity K_CAP — the full-evaluation fallback must produce
+    the same split points as the host splitter."""
+    import numpy as np
+
+    from zultra_tpu.blocks import block_split
+    from zultra_tpu.native import build_match_table
+    from zultra_tpu.ops.split_jax import block_split_jax
+
+    rng = np.random.RandomState(7)
+    parts = []
+    for i in range(64):  # 32 KiB window of alternating 512-byte regimes
+        lo, hi = (0x00, 0x10) if i % 2 == 0 else (0xF0, 0x100)
+        parts.append(rng.randint(lo, hi, 512).astype(np.uint8))
+    window = np.concatenate(parts)
+    n = len(window)
+    table = build_match_table(window.copy(), 0).astype(np.int32)
+
+    expect = block_split(window, table, 0, n, 64)
+    got = block_split_jax(window, table, 0, n)
+    assert got == expect

@@ -178,6 +178,7 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
         return h + part[:, :NBINS]
 
     C_cap = in_cap // 256 + MAX_RANGES  # flat candidate capacity per level
+    K_CAP = min(C_cap, C_cap // 4 + MAX_RANGES)  # compact trigger capacity
 
     # Range state.
     r_bs = jnp.full(MAX_RANGES, 0, jnp.int32).at[0].set(prev)
@@ -236,25 +237,57 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
         H_te = prefix_hist_incl(jnp.clip(r_te, 1, n) - 1)
         H_total = H_te - H_ts
         H_total = H_total.at[:, NEODMARKERSYM].add(1)
-        H_pi = prefix_hist_incl(pi_s)
-        H_left = H_pi - H_ts[cand_rng]
-        H_left = H_left.at[:, NEODMARKERSYM].set(1)
-        H_right = H_total[cand_rng] - H_left
-        H_right = H_right.at[:, NEODMARKERSYM].set(1)
 
-        # One batched MK cost evaluation: [range totals | lefts | rights].
-        lit_all = jnp.concatenate(
-            [H_total[:, :NLITERALSYMS], H_left[:, :NLITERALSYMS], H_right[:, :NLITERALSYMS]]
-        )
-        off_all = jnp.concatenate(
-            [H_total[:, NLITERALSYMS:], H_left[:, NLITERALSYMS:], H_right[:, NLITERALSYMS:]]
-        )
-        costs = dynamic_cost(lit_all, off_all)
-        total_cost = costs[:MAX_RANGES]
-        left_cost = costs[MAX_RANGES : MAX_RANGES + C_cap]
-        right_cost = costs[MAX_RANGES + C_cap :]
+        def mk_delta(H_left, H_right, rng_of_lane, n_lanes):
+            """delta = total - (left + right) for n_lanes candidate
+            lanes, in ONE batched MK cost evaluation with the 64 range
+            totals prepended."""
+            lit_all = jnp.concatenate(
+                [H_total[:, :NLITERALSYMS], H_left[:, :NLITERALSYMS],
+                 H_right[:, :NLITERALSYMS]]
+            )
+            off_all = jnp.concatenate(
+                [H_total[:, NLITERALSYMS:], H_left[:, NLITERALSYMS:],
+                 H_right[:, NLITERALSYMS:]]
+            )
+            costs = dynamic_cost(lit_all, off_all)
+            total_cost = costs[:MAX_RANGES]
+            left_cost = costs[MAX_RANGES : MAX_RANGES + n_lanes]
+            right_cost = costs[MAX_RANGES + n_lanes :]
+            return total_cost[rng_of_lane] - (left_cost + right_cost)
 
-        delta = total_cost[cand_rng] - (left_cost + right_cost)
+        def lr_hists(pi_lane, rng_lane):
+            H_pi = prefix_hist_incl(pi_lane)
+            H_left = H_pi - H_ts[rng_lane]
+            H_left = H_left.at[:, NEODMARKERSYM].set(1)
+            H_right = H_total[rng_lane] - H_left
+            H_right = H_right.at[:, NEODMARKERSYM].set(1)
+            return H_left, H_right
+
+        # Cost evaluation only happens at drift TRIGGERS (exactly like
+        # the reference walk) and triggers are sparse, so the MK batch —
+        # the splitter's dominant cost — compacts to the triggered
+        # candidates (capacity K_CAP). The rare level with more triggers
+        # falls back to evaluating every candidate (bit-identical either
+        # way; the compact path computes the same costs for the same
+        # histograms).
+        t_rank = jnp.cumsum(trigger.astype(jnp.int32)) - trigger
+        n_trig = jnp.sum(trigger.astype(jnp.int32))
+
+        def delta_compact(_):
+            cslot = jnp.where(trigger & (t_rank < K_CAP), t_rank, K_CAP)
+            pi_c = jnp.zeros(K_CAP + 1, jnp.int32).at[cslot].set(pi_s)[:K_CAP]
+            rng_c = jnp.zeros(K_CAP + 1, jnp.int32).at[cslot].set(cand_rng)[:K_CAP]
+            H_left, H_right = lr_hists(pi_c, rng_c)
+            delta_c = mk_delta(H_left, H_right, rng_c, K_CAP)
+            back = jnp.where(trigger, jnp.clip(t_rank, 0, K_CAP - 1), K_CAP)
+            return jnp.concatenate([delta_c, jnp.full(1, -1, jnp.int32)])[back]
+
+        def delta_full(_):
+            H_left, H_right = lr_hists(pi_s, cand_rng)
+            return mk_delta(H_left, H_right, cand_rng, C_cap)
+
+        delta = lax.cond(n_trig <= K_CAP, delta_compact, delta_full, 0)
         good = trigger & (delta >= 0)
         key = jnp.where(good, delta, -1)
 
