@@ -92,6 +92,16 @@ def run(seconds: float, seed: int, ref: RefLib | None = None) -> int:
             continue
         expect = ref.compress(data, flags, block, dictionary)
         got = zt.compress(data, flags, block, dictionary)
+        if n and n % 25 == 0:
+            # Device engines jit one executable per padded-shape bucket;
+            # random sizes touch many buckets, so cap the cache or a long
+            # campaign exhausts host RAM on compiled executables.
+            try:
+                import jax
+
+                jax.clear_caches()
+            except Exception:
+                pass
         if got != expect:
             stamp = f"/tmp/zultra_fuzz_fail_{seed}_{n}"
             Path(stamp + ".bin").write_bytes(data)

@@ -148,7 +148,7 @@ def begin_window_device(window: np.ndarray, prev: int, in_size: int,
     tail = jnp.zeros(n_pad_w - n, jnp.int32)
     rl = jnp.concatenate([lens[:, 0].astype(jnp.int32), tail])
     ro = jnp.concatenate([offs[:, 0].astype(jnp.int32), tail])
-    splits_arr, n_splits = _split_kernel(
+    splits_arr, n_splits, _ = _split_kernel(
         win_p, rl, ro, jnp.int32(prev), jnp.int32(n), n_pad_w,
         _input_cap(in_size),
     )
@@ -261,7 +261,7 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int, mesh=None):
     ro = jnp.concatenate([offs_st[:, :, 0].astype(jnp.int32), ztail], axis=1)
     n_reals_np = np.array([HALO + (hi - lo) for lo, hi in spans], dtype=np.int32)
     if mesh is None:
-        splits_arr, n_splits = _split_kernel_batch(
+        splits_arr, n_splits, tok_marks = _split_kernel_batch(
             win_p, rl, ro, jnp.int32(HALO), jnp.asarray(n_reals_np), n_pad_w,
             _input_cap(mbs),
         )
@@ -279,12 +279,15 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int, mesh=None):
             n_reals_np = np.concatenate(
                 [n_reals_np, np.zeros(W_pad - W, np.int32)]
             )
-        splits_arr, n_splits = _split_kernel_sharded(mesh, n_pad_w, _input_cap(mbs))(
+        splits_arr, n_splits, tok_marks = _split_kernel_sharded(
+            mesh, n_pad_w, _input_cap(mbs)
+        )(
             win_p, rl, ro, jnp.full((1,), HALO, jnp.int32),
             jnp.asarray(n_reals_np),
         )
     splits_arr = np.asarray(splits_arr)[:W]
     n_splits = np.asarray(n_splits)[:W]
+    tok_stack = tok_marks[:W, :n_lane]  # device-resident greedy marks
 
     # Flatten every window's blocks into one cross-window lane list.
     lanes = []
@@ -300,7 +303,9 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int, mesh=None):
             s = e
         spans_per_window.append(blocks)
 
-    plans_flat = plan_blocks_device_multi(win_dev, lens_st, offs_st, lanes, mesh=mesh)
+    plans_flat = plan_blocks_device_multi(
+        win_dev, lens_st, offs_st, lanes, mesh=mesh, tok_stack=tok_stack
+    )
 
     handles = []
     i = 0

@@ -301,10 +301,16 @@ def _emit_tokens(window, best_len, best_off, lit_cw, lit_len, off_cw, off_len,
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad",))
-def _plan_block_kernel(window, mlens, moffs, length, n_pad: int):
+def _plan_block_kernel(window, mlens, moffs, length, n_pad: int,
+                       greedy_tok=None):
     """The full per-block planning program, batched over B independent
     blocks padded to n_pad. All inputs are block-local (position 0 = block
     start); matches may reference bytes before the block via offsets only.
+    ``greedy_tok`` (optional, (B, n_pad) bool) is the row-0 greedy token
+    mask sliced from the splitter's window-global chain — block starts
+    are chain tokens and the hop structure is memoryless, so the subpath
+    equals the block-local walk and the greedy histogram skips its
+    17-round pointer-doubling walk.
 
     Returns a dict of per-lane plan arrays (see plan_blocks)."""
     B = window.shape[0]
@@ -314,7 +320,13 @@ def _plan_block_kernel(window, mlens, moffs, length, n_pad: int):
     static_off_cw = jnp.asarray(_STATIC_OFF_CW)
 
     # Greedy entropy over match-table row 0 → static/dynamic choice.
-    g_lit, g_off, _ = _token_hist(window, mlens[:, :, 0], moffs[:, :, 0], length, n_pad)
+    if greedy_tok is not None:
+        greedy_tok = greedy_tok & (
+            jnp.arange(n_pad, dtype=jnp.int32)[None, :] < length[:, None]
+        )
+    g_lit, g_off, _ = _token_hist(
+        window, mlens[:, :, 0], moffs[:, :, 0], length, n_pad, greedy_tok
+    )
     st_cost = static_cost(g_lit, g_off)
     dy_cost = dynamic_cost(g_lit, g_off)
     is_dyn = st_cost > dy_cost  # not (static <= dynamic)
@@ -486,7 +498,8 @@ def plan_blocks_device(win_dev, lens_dev, offs_dev, block_spans):
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad",))
-def _slice_blocks_multi(win_ext, lens_ext, offs_ext, widx, starts, n_pad: int):
+def _slice_blocks_multi(win_ext, lens_ext, offs_ext, tok_ext, widx, starts,
+                        n_pad: int):
     """Cut B block lanes out of STACKED device window/table arrays
     ((W, n_lane[+pad]) layouts): lane b is window widx[b]'s slice at
     starts[b]. Callers pre-extend the stacks by ≥ n_pad columns so every
@@ -499,7 +512,8 @@ def _slice_blocks_multi(win_ext, lens_ext, offs_ext, widx, starts, n_pad: int):
         mo = lax.dynamic_slice(
             offs_ext, (w, s, 0), (1, n_pad, NMATCHES_PER_OFFSET)
         )[0].astype(jnp.int32)
-        return win, ml, mo
+        tok = lax.dynamic_slice(tok_ext, (w, s), (1, n_pad))[0]
+        return win, ml, mo, tok
 
     return jax.vmap(one)(widx, starts)
 
@@ -515,16 +529,17 @@ def _plan_block_kernel_sharded(mesh, n_pad: int):
 
     spec = P(("dp", "sp"))
     step = shard_map(
-        lambda w, ml, mo, ln: _plan_block_kernel(w, ml, mo, ln, n_pad),
+        lambda w, ml, mo, ln, tok: _plan_block_kernel(w, ml, mo, ln, n_pad, tok),
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec),
+        in_specs=(spec, spec, spec, spec, spec),
         out_specs=spec,
         check_vma=False,
     )
     return jax.jit(step)
 
 
-def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes, mesh=None):
+def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes,
+                             mesh=None, tok_stack=None):
     """plan_blocks over blocks drawn from a BATCH of device-resident
     window lanes: ``win_stack`` (W, n_lane) uint8, ``lens_stack``/
     ``offs_stack`` (W, n_lane, 8) uint16, ``lanes`` a list of
@@ -534,9 +549,20 @@ def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes, mesh=None
     batch instead of running once per window. With ``mesh``, every
     bucket's lanes additionally distribute across all mesh devices
     (shard_map over dp×sp) — the composed begin-phase's chip-scaling
-    axis. Returns plans in ``lanes`` order."""
+    axis. ``tok_stack`` (W, n_lane) bool: the splitter's window-global
+    greedy token marks — sliced per block so the planner's greedy
+    histogram reuses the chain instead of re-walking it.
+    Returns plans in ``lanes`` order."""
     if not lanes:
         return []
+    if tok_stack is None:
+        # The sharded kernel's signature is fixed; without real marks the
+        # kernel must re-walk, so the mesh path requires them.
+        assert mesh is None, "mesh path requires the splitter's token marks"
+        tok_stack = jnp.zeros(win_stack.shape, jnp.bool_)
+        have_tok = False
+    else:
+        have_tok = True
     n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     buckets: dict[int, list[int]] = {}
     for i, (_, _, ln) in enumerate(lanes):
@@ -549,6 +575,9 @@ def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes, mesh=None
     z = jnp.zeros((W, n_pad_max, NMATCHES_PER_OFFSET), lens_stack.dtype)
     lens_ext = jnp.concatenate([lens_stack, z], axis=1)
     offs_ext = jnp.concatenate([offs_stack, z], axis=1)
+    tok_ext = jnp.concatenate(
+        [tok_stack, jnp.zeros((W, n_pad_max), jnp.bool_)], axis=1
+    )
 
     plans: list[dict | None] = [None] * len(lanes)
     for n_pad, idxs in sorted(buckets.items()):
@@ -560,15 +589,16 @@ def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes, mesh=None
         lengths = np.zeros(B, np.int32)
         for b, i in enumerate(idxs):
             widx[b], starts[b], lengths[b] = lanes[i]
-        win, ml, mo = _slice_blocks_multi(
-            win_ext, lens_ext, offs_ext, jnp.asarray(widx), jnp.asarray(starts),
-            n_pad,
+        win, ml, mo, tok = _slice_blocks_multi(
+            win_ext, lens_ext, offs_ext, tok_ext, jnp.asarray(widx),
+            jnp.asarray(starts), n_pad,
         )
+        gtok = tok if have_tok else None
         if mesh is None:
-            out = _plan_block_kernel(win, ml, mo, jnp.asarray(lengths), n_pad)
+            out = _plan_block_kernel(win, ml, mo, jnp.asarray(lengths), n_pad, gtok)
         else:
             out = _plan_block_kernel_sharded(mesh, n_pad)(
-                win, ml, mo, jnp.asarray(lengths)
+                win, ml, mo, jnp.asarray(lengths), tok
             )
         _collect_plans(out, idxs, plans)
     return plans

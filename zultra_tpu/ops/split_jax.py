@@ -114,7 +114,7 @@ def _token_structure(window, row_len, row_off, prev, n_real, n: int):
     bucket_t = jnp.zeros(n + 1, jnp.int32).at[tgt].max(bucket, mode="drop")[:n]
     sym1_t = jnp.zeros(n + 1, jnp.int32).at[tgt].max(sym1, mode="drop")[:n]
     sym2_t = jnp.full(n + 1, NBINS, jnp.int32).at[tgt].min(sym2, mode="drop")[:n]
-    return n_tok, starts, ends, bucket_t, sym1_t, sym2_t
+    return n_tok, starts, ends, bucket_t, sym1_t, sym2_t, is_tok
 
 
 @functools.partial(jax.jit, static_argnames=("n", "in_cap"))
@@ -130,7 +130,7 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
     ascending with INF padding, n_splits)."""
     if in_cap is None:
         in_cap = n
-    n_tok, starts, ends, bucket_t, sym1_t, sym2_t = _token_structure(
+    n_tok, starts, ends, bucket_t, sym1_t, sym2_t, tok_marks = _token_structure(
         window, row_len, row_off, prev, n_real, n
     )
     tok_valid = jnp.arange(n, dtype=jnp.int32) < n_tok
@@ -332,7 +332,11 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
     state = (r_bs, r_be, r_ts, r_te, r_act, n_ranges, splits, n_splits)
     state = lax.fori_loop(0, N_LEVELS, level_body, state)
     _, _, _, _, _, _, splits, n_splits = state
-    return jnp.sort(splits), n_splits
+    # tok_marks: the window-global greedy token-start mask. The greedy
+    # chain is memoryless and split points are token starts, so every
+    # block's greedy walk is a subpath — the planner reuses these marks
+    # instead of re-walking the chain per block.
+    return jnp.sort(splits), n_splits, tok_marks
 
 
 def _bucket(n: int) -> int:
@@ -369,7 +373,7 @@ def _split_kernel_sharded(mesh, n: int, in_cap: int | None = None):
         lambda w, l, o, p, nr: _split_kernel_batch(w, l, o, p[0], nr, n, in_cap),
         mesh=mesh,
         in_specs=(spec, spec, spec, P(None), spec),
-        out_specs=(spec, spec),
+        out_specs=(spec, spec, spec),
         check_vma=False,
     )
     return jax.jit(step)
@@ -397,7 +401,7 @@ def block_split_jax(window, match_table, prev: int, in_size: int):
     rl[:n] = mt[:n, 0, 0]
     ro = np.zeros(n_pad, np.int32)
     ro[:n] = mt[:n, 0, 1]
-    splits, n_splits = _split_kernel(
+    splits, n_splits, _ = _split_kernel(
         jnp.asarray(win_p), jnp.asarray(rl), jnp.asarray(ro),
         jnp.int32(prev), jnp.int32(n), n_pad, _input_cap(in_size),
     )
