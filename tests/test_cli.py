@@ -81,3 +81,48 @@ def test_cli_empty_input_clean_error(tmp_path):
     assert r.returncode == 100
     assert "Traceback" not in r.stderr
     assert "error compressing" in r.stderr
+
+
+def test_guarded_compress_real_buffer_and_injected_overrun():
+    """-cbench guard semantics (reference tool/zultra.c:710-753): the
+    guarded arena wraps the buffer the engines actually write into —
+    clean runs keep the guards intact, and an injected bound-accounting
+    bug (a bitwriter that believes the buffer is bigger than the guarded
+    region) trips them."""
+    import numpy as np
+    import pytest
+
+    from zultra_tpu import FLAG_GZIP_FRAMING, compress
+    from zultra_tpu.cli import GUARD, GUARD_BYTE, compress_guarded
+    from zultra_tpu.stream import Stream, clamp_block_size
+
+    rng = np.random.default_rng(3)
+    data = bytes(rng.integers(0, 8, 200_000, dtype=np.uint8))  # compressible
+
+    out = compress_guarded(data, FLAG_GZIP_FRAMING)
+    assert out == compress(data, FLAG_GZIP_FRAMING)
+
+    # Injected overrun: hand the native window compressor a capacity
+    # larger than the guarded region. Incompressible input forces stored
+    # blocks that need ~in_size + 11 bytes; with the region cut short the
+    # emitter's real writes land in the guard.
+    import ctypes
+
+    from zultra_tpu import native
+
+    lib = native.get_lib()
+    bad = np.ascontiguousarray(rng.integers(0, 256, 65536, dtype=np.uint8))
+    region_size = 65540  # stored output needs 65536 + 11
+    arena = bytearray(bytes([GUARD_BYTE]) * (GUARD + region_size + GUARD))
+    region = np.frombuffer(memoryview(arena)[GUARD : GUARD + region_size],
+                           dtype=np.uint8)
+    bd = ctypes.c_uint32(0)
+    bc = ctypes.c_int32(0)
+    n = lib.zn_compress_window(
+        bad, 0, len(bad), 1, region, region_size + 64,  # the injected lie
+        ctypes.byref(bd), ctypes.byref(bc),
+    )
+    assert n > region_size  # the emitter believed the lie
+    del region
+    assert arena[GUARD + region_size :] != bytes([GUARD_BYTE]) * GUARD
+    assert arena[:GUARD] == bytes([GUARD_BYTE]) * GUARD

@@ -102,26 +102,46 @@ def do_compress(in_path: str, out_path: str, flags: int, dictionary: bytes | Non
     return 0
 
 
+GUARD = 1024
+GUARD_BYTE = 0xAA
+
+
+def compress_guarded(data: bytes, flags: int, max_block_size: int = 0) -> bytes:
+    """One in-memory compression run through a guarded output arena: the
+    stream's per-window output buffer — the memory every engine's emitter
+    actually writes into — is a view between two guard regions, so a real
+    buffer overrun corrupts the guards (reference tool/zultra.c:710-753
+    semantics, adapted to the per-window buffer model). Raises
+    RuntimeError when a guard trips."""
+    from .stream import Stream, clamp_block_size
+
+    mbs = clamp_block_size(max_block_size)
+    out_cap = 1 + mbs + (1 + 4) * ((mbs // 65535) + 1)
+    arena = bytearray(bytes([GUARD_BYTE]) * (GUARD + out_cap + GUARD))
+    region = memoryview(arena)[GUARD : GUARD + out_cap]
+    stream = Stream(flags, mbs, out_buffer=region)
+    out = stream.compress(data, 1)
+    del region
+    if (arena[:GUARD] != bytes([GUARD_BYTE]) * GUARD
+            or arena[GUARD + out_cap:] != bytes([GUARD_BYTE]) * GUARD):
+        raise RuntimeError("guard bytes corrupted")
+    return out
+
+
 def do_benchmark(in_path: str, flags: int, verbose: bool) -> int:
     data = open(in_path, "rb").read()
-    bound = memory_bound(len(data), flags)
-    guard = 1024
 
     best = None
     comp = b""
     for run in range(5):
-        # Guard bytes around the output region, checked after each run
-        # (tool/zultra.c:710-753).
-        buf = bytearray(b"\xaa" * guard + b"\x00" * bound + b"\xaa" * guard)
         t0 = time.perf_counter()
-        comp = compress(data, flags)
-        elapsed = time.perf_counter() - t0
-        buf[guard : guard + len(comp)] = comp
-        if (buf[:guard] != b"\xaa" * guard or buf[guard + bound :] != b"\xaa" * guard):
-            print("guard bytes corrupted", file=sys.stderr)
+        try:
+            comp = compress_guarded(data, flags)
+        except RuntimeError as exc:
+            print(str(exc), file=sys.stderr)
             return 100
+        elapsed = time.perf_counter() - t0
         best = elapsed if best is None else min(best, elapsed)
-        bound = len(comp)  # shrink like the reference
         if verbose:
             print(f"run {run}: {len(data)/1048576.0/elapsed:.2f} MB/s")
 

@@ -137,6 +137,7 @@ def begin_window_device(window: np.ndarray, prev: int, in_size: int,
 
     from .ops.block_jax import plan_blocks_device
     from .ops.matchfinder_jax import match_table_device
+    from .ops.split_jax import _batch_chain_marks
     from .ops.split_jax import _bucket as _split_bucket
     from .ops.split_jax import _input_cap, _split_kernel
 
@@ -148,9 +149,12 @@ def begin_window_device(window: np.ndarray, prev: int, in_size: int,
     tail = jnp.zeros(n_pad_w - n, jnp.int32)
     rl = jnp.concatenate([lens[:, 0].astype(jnp.int32), tail])
     ro = jnp.concatenate([offs[:, 0].astype(jnp.int32), tail])
+    tok = _batch_chain_marks(
+        rl[None, :], jnp.int32(prev), jnp.asarray([n], jnp.int32), n_pad_w
+    )
     splits_arr, n_splits, _ = _split_kernel(
         win_p, rl, ro, jnp.int32(prev), jnp.int32(n), n_pad_w,
-        _input_cap(in_size),
+        _input_cap(in_size), None if tok is None else tok[0],
     )
     splits = [int(x) for x in np.asarray(splits_arr[: int(n_splits)])]
     splits.append(n)

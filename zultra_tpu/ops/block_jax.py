@@ -84,6 +84,19 @@ from .symbol_map import (
 CONVERGENCE_PASSES = 3
 
 
+def _dp_impl() -> str:
+    """Which DP runs inside the planner: 'pallas' (the VMEM-resident
+    kernel — ~40-300x the scan on the v5e, see docs/ARCHITECTURE.md §6)
+    or 'scan' (the XLA backward scan — every backend). ZULTRA_DP_IMPL
+    overrides; auto picks pallas on TPU backends."""
+    import os
+
+    choice = os.environ.get("ZULTRA_DP_IMPL", "auto")
+    if choice == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+    return choice
+
+
 def _static_tables():
     """Host-precomputed RFC 1951 fixed tables (lengths + bit-reversed
     codewords) — constants, so they never touch the device Huffman path."""
@@ -106,9 +119,26 @@ def _static_tables():
 _STATIC_LIT_LEN, _STATIC_LIT_CW, _STATIC_OFF_LEN, _STATIC_OFF_CW = _static_tables()
 
 
+def _chain_impl() -> str:
+    """'pallas' (the on-core forward walk, ops/chain_pallas — TPU) or
+    'doubling' (the XLA pointer-doubling rounds — every backend).
+    ZULTRA_CHAIN_IMPL overrides."""
+    import os
+
+    choice = os.environ.get("ZULTRA_CHAIN_IMPL", "auto")
+    if choice == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "doubling"
+    return choice
+
+
 def _chain_mask(step: jnp.ndarray, length: jnp.ndarray, n: int) -> jnp.ndarray:
     """Batched token-start mask for the hop structure next(i) = i +
     step[i], walked from position 0 while i < length. (B, n) bool."""
+    if _chain_impl() == "pallas":
+        from .chain_pallas import chain_marks_pallas
+
+        B = step.shape[0]
+        return chain_marks_pallas(step, jnp.zeros(B, jnp.int32), length, n)
     B = step.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)[None, :]
     nxt = jnp.minimum(idx + step, n)
@@ -158,7 +188,16 @@ def _token_hist(window, lens, offs, length, n: int, is_tok=None):
 
 
 def _run_dp(lit_lens, off_lens, window, mlens, moffs, length, n_pad: int):
-    """One batched DP pass (scan cost + order-exact selection)."""
+    """One batched DP pass. On TPU this is the Pallas VMEM-ring kernel
+    (ops/dp_pallas); elsewhere (or with ZULTRA_DP_IMPL=scan) the XLA
+    backward scan + order-exact selection. Bit-identical either way."""
+    if _dp_impl() == "pallas" and n_pad <= (1 << 20):
+        from .dp_pallas import run_dp_pallas
+
+        return run_dp_pallas(
+            lit_lens, off_lens, window, mlens, moffs, length, n_pad
+        )
+
     def one(ll, ol, w, ml, mo, ln):
         (
             in_block, lit_cost, clamped, osize, long_cost_static, long_step,
@@ -444,7 +483,10 @@ def _slice_blocks(win_ext, lens_ext, offs_ext, starts, n_pad: int):
 def _collect_plans(out, idxs, plans):
     # ONE bulk device->host fetch for the whole batch — per-lane
     # per-field fetches would pay the ~25 ms dispatch round trip
-    # hundreds of times per bucket.
+    # hundreds of times per bucket. best_len/best_off are kernel-internal
+    # (the words already encode the choices) — dropping them saves
+    # 2 x B x n_pad x 4 B of tunnel traffic per bucket.
+    out = {k: v for k, v in out.items() if k not in ("best_len", "best_off")}
     out = jax.device_get(out)
     total_bits = out["total_bits"]
     for b, i in enumerate(idxs):

@@ -62,10 +62,12 @@ MAX_RANGES = 64
 N_LEVELS = 6  # reference: depth >= 6 prunes
 
 
-def _token_structure(window, row_len, row_off, prev, n_real, n: int):
+def _token_structure(window, row_len, row_off, prev, n_real, n: int,
+                     tok_in=None):
     """Greedy token chain from match-table row 0 (the packed-chain
     equivalent of native build_greedy_chain): token starts by pointer
-    doubling, then compacted per-token arrays.
+    doubling — or, on TPU, precomputed by the on-core Pallas walk and
+    passed in as ``tok_in`` — then compacted per-token arrays.
 
     ``n`` is the static padded size; ``prev``/``n_real`` are traced.
     Returns (n_tok, starts, ends, bucket, sym1, sym2) — arrays of
@@ -75,16 +77,19 @@ def _token_structure(window, row_len, row_off, prev, n_real, n: int):
     is_match = row_len >= MIN_MATCH_SIZE
     step = jnp.where(is_match, row_len, 1)
 
-    nxt = jnp.minimum(idx + step, n)
-    jmp = jnp.concatenate([nxt, jnp.full((1,), n, jnp.int32)])
-    mark = jnp.zeros(n + 1, jnp.int32).at[prev].set(1)
-    rounds = max(1, int(math.ceil(math.log2(n + 1))) + 1)
-    for _ in range(rounds):
-        mark = jnp.maximum(
-            mark, jnp.zeros(n + 1, jnp.int32).at[jmp].max(mark, mode="drop")
-        )
-        jmp = jmp[jmp]
-    is_tok = (mark[:n] == 1) & (idx >= prev) & (idx < n_real)
+    if tok_in is not None:
+        is_tok = tok_in
+    else:
+        nxt = jnp.minimum(idx + step, n)
+        jmp = jnp.concatenate([nxt, jnp.full((1,), n, jnp.int32)])
+        mark = jnp.zeros(n + 1, jnp.int32).at[prev].set(1)
+        rounds = max(1, int(math.ceil(math.log2(n + 1))) + 1)
+        for _ in range(rounds):
+            mark = jnp.maximum(
+                mark, jnp.zeros(n + 1, jnp.int32).at[jmp].max(mark, mode="drop")
+            )
+            jmp = jmp[jmp]
+        is_tok = (mark[:n] == 1) & (idx >= prev) & (idx < n_real)
 
     # Token symbols / buckets at every position (masked by is_tok later);
     # symbol maps as closed-form VPU arithmetic (ops/symbol_map).
@@ -119,7 +124,7 @@ def _token_structure(window, row_len, row_off, prev, n_real, n: int):
 
 @functools.partial(jax.jit, static_argnames=("n", "in_cap"))
 def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
-                  in_cap: int | None = None):
+                  in_cap: int | None = None, tok_in=None):
     """Split points for the window range [prev, n_real). ``n`` is the
     static padded buffer size (few compiled shapes); prev/n_real are
     traced. ``in_cap`` (static) bounds the INPUT bytes (n_real - prev) —
@@ -131,7 +136,7 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
     if in_cap is None:
         in_cap = n
     n_tok, starts, ends, bucket_t, sym1_t, sym2_t, tok_marks = _token_structure(
-        window, row_len, row_off, prev, n_real, n
+        window, row_len, row_off, prev, n_real, n, tok_in
     )
     tok_valid = jnp.arange(n, dtype=jnp.int32) < n_tok
 
@@ -354,10 +359,32 @@ def _split_kernel_batch(win_p, rl, ro, prev, n_real, n: int,
     program splits every window of a batch (the level loops' latency
     amortizes across lanes). ``prev`` is shared (the stacked lane layout
     puts the first input byte at the same offset in every lane);
-    ``n_real`` is per-lane."""
+    ``n_real`` is per-lane. On TPU the token chain walk runs ONCE for
+    the whole batch in the Pallas forward-walk kernel (outside the vmap);
+    elsewhere each lane pointer-doubles inside the vmap."""
+    tok = _batch_chain_marks(rl, prev, n_real, n)
+    if tok is None:
+        return jax.vmap(
+            lambda w, l, o, nr: _split_kernel(w, l, o, prev, nr, n, in_cap)
+        )(win_p, rl, ro, n_real)
     return jax.vmap(
-        lambda w, l, o, nr: _split_kernel(w, l, o, prev, nr, n, in_cap)
-    )(win_p, rl, ro, n_real)
+        lambda w, l, o, nr, tk: _split_kernel(w, l, o, prev, nr, n, in_cap, tk)
+    )(win_p, rl, ro, n_real, tok)
+
+
+def _batch_chain_marks(rl, prev, n_real, n: int):
+    """Batched greedy-chain marks for the splitter's lanes via the Pallas
+    forward walk (TPU), or None to pointer-double per lane."""
+    from .block_jax import _chain_impl
+
+    if _chain_impl() != "pallas":
+        return None
+    from .chain_pallas import chain_marks_pallas
+
+    B = rl.shape[0]
+    step = jnp.where(rl >= MIN_MATCH_SIZE, rl, 1)
+    starts = jnp.broadcast_to(jnp.asarray(prev, jnp.int32), (B,))
+    return chain_marks_pallas(step, starts, n_real, n)
 
 
 @functools.lru_cache(maxsize=None)
@@ -401,9 +428,14 @@ def block_split_jax(window, match_table, prev: int, in_size: int):
     rl[:n] = mt[:n, 0, 0]
     ro = np.zeros(n_pad, np.int32)
     ro[:n] = mt[:n, 0, 1]
+    rl_j, ro_j = jnp.asarray(rl), jnp.asarray(ro)
+    tok = _batch_chain_marks(
+        rl_j[None, :], jnp.int32(prev), jnp.asarray([n], jnp.int32), n_pad
+    )
     splits, n_splits, _ = _split_kernel(
-        jnp.asarray(win_p), jnp.asarray(rl), jnp.asarray(ro),
+        jnp.asarray(win_p), rl_j, ro_j,
         jnp.int32(prev), jnp.int32(n), n_pad, _input_cap(in_size),
+        None if tok is None else tok[0],
     )
     out = [int(x) for x in np.asarray(splits[: int(n_splits)])]
     out.append(n)

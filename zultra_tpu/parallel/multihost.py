@@ -148,6 +148,43 @@ def window_spans(total: int, max_block_size: int):
     return spans
 
 
+def span_checksum_partial(data, lo: int, hi: int, flags: int):
+    """Worker-side checksum partial over the contiguous byte span
+    [lo, hi): (value, length). Combined on host 0 with the associative
+    ops.checksum combines — the pod-scale replacement for re-hashing the
+    whole corpus on one host (reference src/frame.c:454-480 runs the
+    running checksum inline; windows mode distributes it)."""
+    import zlib
+
+    from ..constants import FLAG_GZIP_FRAMING, FLAG_ZLIB_FRAMING
+
+    chunk = bytes(data[lo:hi])
+    if flags & FLAG_GZIP_FRAMING:
+        return zlib.crc32(chunk) & 0xFFFFFFFF, hi - lo
+    if flags & FLAG_ZLIB_FRAMING:
+        return zlib.adler32(chunk) & 0xFFFFFFFF, hi - lo
+    return 0, hi - lo
+
+
+def combine_checksum_partials(parts, flags: int) -> int:
+    """Tree-combinable reduction of ordered (value, length) partials into
+    the stream checksum (ops.checksum.crc32_combine/adler32_combine)."""
+    from ..constants import FLAG_GZIP_FRAMING, FLAG_ZLIB_FRAMING
+    from ..ops.checksum import adler32_combine, crc32_combine
+
+    if flags & FLAG_GZIP_FRAMING:
+        acc = 0
+        for value, length in parts:
+            acc = crc32_combine(acc, value, length)
+        return acc
+    if flags & FLAG_ZLIB_FRAMING:
+        acc = 1
+        for value, length in parts:
+            acc = adler32_combine(acc, value, length)
+        return acc
+    return 0
+
+
 def plan_window_span(data, window_spans_slice, n_threads: int = 1):
     """Plan the given windows of ``data`` (full corpus bytes or a
     memoryview); returns serialized plan blobs, one per window. Runs on
@@ -176,18 +213,30 @@ def plan_window_span(data, window_spans_slice, n_threads: int = 1):
     return blobs
 
 
-def stitch_window_plans(blobs, flags, data, max_block_size: int) -> bytes:
+def stitch_window_plans(blobs, flags, data, max_block_size: int,
+                        checksum_parts=None, data_len: int | None = None) -> bytes:
     """Host-0 step: emit planned windows in stream order at the true bit
-    phase, wrap in container framing. ``data`` is needed only for the
-    checksum (an associative combine of per-span partials on a real pod —
-    ops.checksum; here the corpus is at hand)."""
+    phase, wrap in container framing. With ``checksum_parts`` (ordered
+    worker (value, length) partials) the stream checksum is an O(workers)
+    associative combine — host 0 never re-reads the corpus bytes; without
+    them (single-process path) it hashes ``data`` directly."""
     from .. import frame, native
     from ..stream import memory_bound
 
+    if data_len is None:
+        data_len = len(data)
     out = bytearray()
     out += frame.encode_header(flags, None)
-    checksum = frame.init_checksum(flags)
-    checksum = frame.update_checksum(checksum, np.frombuffer(data, dtype=np.uint8), flags)
+    if checksum_parts is not None:
+        total = sum(length for _, length in checksum_parts)
+        if total != data_len:
+            raise ValueError("checksum partials do not cover the stream")
+        checksum = combine_checksum_partials(checksum_parts, flags)
+    else:
+        checksum = frame.init_checksum(flags)
+        checksum = frame.update_checksum(
+            checksum, np.frombuffer(data, dtype=np.uint8), flags
+        )
 
     buf = bytearray(memory_bound(max_block_size, flags, max_block_size))
     bits_data, bits_count = 0, 0
@@ -197,7 +246,7 @@ def stitch_window_plans(blobs, flags, data, max_block_size: int) -> bytes:
             handle, i + 1 == len(blobs), buf, bits_data, bits_count
         )
         out += buf[:n]
-    out += frame.encode_footer(flags, checksum, len(data))
+    out += frame.encode_footer(flags, checksum, data_len)
     return bytes(out)
 
 
@@ -208,8 +257,10 @@ _FORK_DATA = None
 
 
 def _plan_span_worker(args):
-    spans, n_threads = args
-    return plan_window_span(_FORK_DATA, spans, n_threads)
+    spans, n_threads, flags = args
+    blobs = plan_window_span(_FORK_DATA, spans, n_threads)
+    part = span_checksum_partial(_FORK_DATA, spans[0][0], spans[-1][1], flags)
+    return blobs, part
 
 
 def compress_windows_multihost(
@@ -229,7 +280,8 @@ def compress_windows_multihost(
         blobs = plan_window_span(data, spans)
         return stitch_window_plans(blobs, flags, data, max_block_size)
 
-    # Contiguous, balanced window ranges per worker.
+    # Contiguous, balanced window ranges per worker. Each worker also
+    # hashes its own byte span; host 0 only combines the partials.
     per = -(-len(spans) // workers)
     chunks = [spans[i : i + per] for i in range(0, len(spans), per)]
 
@@ -237,11 +289,13 @@ def compress_windows_multihost(
     try:
         ctx = mp.get_context("fork")
         with ctx.Pool(len(chunks)) as pool:
-            blob_lists = pool.map(_plan_span_worker, [(c, 1) for c in chunks])
+            results = pool.map(_plan_span_worker, [(c, 1, flags) for c in chunks])
     finally:
         _FORK_DATA = None
-    blobs = [b for lst in blob_lists for b in lst]
-    return stitch_window_plans(blobs, flags, data, max_block_size)
+    blobs = [b for blobs_c, _ in results for b in blobs_c]
+    parts = [part for _, part in results]
+    return stitch_window_plans(blobs, flags, data, max_block_size,
+                               checksum_parts=parts)
 
 
 def compress_windows_jax_distributed(
@@ -271,11 +325,18 @@ def compress_windows_jax_distributed(
     per = -(-len(spans) // count)
     mine = spans[idx * per : (idx + 1) * per]
     blobs = plan_window_span(data, mine)
+    part = (
+        span_checksum_partial(data, mine[0][0], mine[-1][1], flags)
+        if mine else (0, 0)
+    )
 
-    # Frame this process's blobs with u32 length prefixes, pad to the
+    # Frame this process's blobs with u32 length prefixes — headed by the
+    # 12-byte checksum partial (value u32, length u64) — pad to the
     # global max, and exchange with ONE allgather (two collectives total:
     # the scalar size gather sizes the padded buffer).
     local = bytearray()
+    local += int(part[0]).to_bytes(4, "little")
+    local += int(part[1]).to_bytes(8, "little")
     for b in blobs:
         local += len(b).to_bytes(4, "little") + b
     sizes = multihost_utils.process_allgather(np.int64(len(local)))
@@ -286,15 +347,19 @@ def compress_windows_jax_distributed(
     if idx != 0:
         return None
     all_blobs = []
+    parts = []
     for pi in range(count):
         row = gathered[pi].tobytes()[: int(sizes[pi])]
-        o = 0
+        parts.append((int.from_bytes(row[0:4], "little"),
+                      int.from_bytes(row[4:12], "little")))
+        o = 12
         while o < len(row):
             ln = int.from_bytes(row[o : o + 4], "little")
             all_blobs.append(row[o + 4 : o + 4 + ln])
             o += 4 + ln
     assert len(all_blobs) == len(spans)
-    return stitch_window_plans(all_blobs, flags, data, max_block_size)
+    return stitch_window_plans(all_blobs, flags, data, max_block_size,
+                               checksum_parts=parts)
 
 
 # ---------------------------------------------------------------------------

@@ -71,7 +71,8 @@ class Stream:
     far; all output is drained eagerly (the cooperative avail_out dance of
     the C API is an artifact of fixed buffers, not of the format)."""
 
-    def __init__(self, flags: int = 0, max_block_size: int = 0):
+    def __init__(self, flags: int = 0, max_block_size: int = 0,
+                 out_buffer=None):
         self.flags = flags
         self.max_block_size = clamp_block_size(max_block_size)
         self.window = np.zeros(HISTORY_SIZE + self.max_block_size, dtype=np.uint8)
@@ -84,7 +85,18 @@ class Stream:
         self.header_emitted = False
         self.footer_emitted = False
         out_cap = 1 + self.max_block_size + (1 + 4) * ((self.max_block_size // 65535) + 1)
-        self.out_buffer = bytearray(out_cap)
+        if out_buffer is not None:
+            # Caller-provided per-window output arena (the reference's
+            # caller-allocated buffer model, src/libzultra.c:108-115) —
+            # every engine writes window bytes INTO this memory, so guard
+            # regions around it observe real overruns (tool/zultra.c:710-753
+            # semantics; cli.do_benchmark wraps it in guard bytes).
+            if len(out_buffer) < out_cap:
+                raise StreamError("output arena smaller than memory bound")
+            self.out_buffer = out_buffer
+            out_cap = len(out_buffer)
+        else:
+            self.out_buffer = bytearray(out_cap)
         self.writer = BitWriter(self.out_buffer, 0, out_cap)
         self.engine = get_engine()
         self._executor = None
