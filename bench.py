@@ -72,6 +72,46 @@ def build_corpus(target_bytes: int) -> bytes:
     return blob
 
 
+MIXED_CACHE = Path("/tmp/zultra_bench_mixed.bin")
+
+
+def build_mixed_corpus(target_bytes: int) -> bytes:
+    """Deliberately less-compressible mixed corpus (VERDICT r3 item 7):
+    text blocks interleaved with native binary (.so) blocks, targeting the
+    ~35% ratio regime of the reference's published corpora
+    (/root/reference/README.md:10-46) instead of the ~21% of pure text."""
+    if MIXED_CACHE.exists() and MIXED_CACHE.stat().st_size == target_bytes:
+        return MIXED_CACHE.read_bytes()
+    text = build_corpus(target_bytes)
+    bins = []
+    total = 0
+    for root in (Path("/opt/venv/lib/python3.12/site-packages"),
+                 Path("/usr/lib/x86_64-linux-gnu")):
+        if not root.exists():
+            continue
+        for p in sorted(root.rglob("*.so*"))[:400]:
+            try:
+                b = p.read_bytes()
+            except OSError:
+                continue
+            bins.append(b)
+            total += len(b)
+            if total >= target_bytes:
+                break
+        if total >= target_bytes:
+            break
+    binary = (b"".join(bins) * 2)[:target_bytes]
+    # Interleave 256 KiB text with 256 KiB binary.
+    step = 256 << 10
+    parts = []
+    for off in range(0, target_bytes, 2 * step):
+        parts.append(text[off : off + step])
+        parts.append(binary[off + step : off + 2 * step])
+    blob = b"".join(parts)[:target_bytes]
+    MIXED_CACHE.write_bytes(blob)
+    return blob
+
+
 def ensure_reference() -> Path | None:
     binary = REF_BUILD / "zultra"
     if binary.exists():
@@ -126,6 +166,36 @@ def main() -> int:
             ref_blob = outp.read_bytes()
             parity_delta = 0 if ref_blob == blob else abs(len(ref_blob) - len(blob)) or 1
 
+    # Mixed text+binary corpus variant (VERDICT r3 item 7): the headline
+    # text stand-in compresses to ~21%; this one sits in the reference's
+    # published ~35% regime, with its own reference-binary parity check.
+    mixed_metrics = {}
+    if os.environ.get("BENCH_MIXED", "1") != "0":
+        try:
+            msize = min(len(corpus), 32 << 20)
+            mixed = build_mixed_corpus(msize)
+            t0 = time.perf_counter()
+            mblob = zt.compress(mixed, zt.FLAG_GZIP_FRAMING)
+            m_elapsed = time.perf_counter() - t0
+            mixed_metrics = {
+                "mixed_corpus_MBps": round(len(mixed) / 1e6 / m_elapsed, 3),
+                "mixed_corpus_ratio_pct": round(100.0 * len(mblob) / len(mixed), 2),
+            }
+            ref_bin = ensure_reference()
+            if ref_bin is not None and os.environ.get("BENCH_PARITY", "1") != "0":
+                inp = Path("/tmp/zultra_bench_mixed_in.bin")
+                outp = Path("/tmp/zultra_bench_mixed_ref.gz")
+                inp.write_bytes(mixed)
+                subprocess.run(
+                    [str(ref_bin), "-gzip", str(inp), str(outp)],
+                    check=True, capture_output=True,
+                )
+                mixed_metrics["mixed_corpus_parity_delta_bytes"] = (
+                    0 if outp.read_bytes() == mblob else 1
+                )
+        except Exception as exc:  # pragma: no cover
+            mixed_metrics = {"mixed_corpus_error": str(exc)[:120]}
+
     # Windows-mode scaling first: it forks worker processes, which must
     # happen before this process initializes the TPU client (the jax
     # slice below does).
@@ -136,27 +206,66 @@ def main() -> int:
 
             sl = corpus[: 16 << 20]  # ≥8 windows per worker at 2 workers
             single = None
-            # Best-of-3 per width: both endpoints jitter ±20% with
-            # neighbor load on this shared 2-vCPU host, and the recorded
-            # efficiency should reflect the decomposition, not one noisy
-            # sample (VERDICT r2 item 5).
+            # Pinned methodology (VERDICT r3 item 2): 5 repeats per
+            # width, single-threaded planners (ZN_THREADS pinned by
+            # plan_window_span's n_threads=1), best-of as the headline
+            # and the full spread recorded so the efficiency number
+            # carries its own error bar on this shared 2-vCPU host.
             for w in (1, 2):
-                dt = 1e9
-                for _ in range(3):
+                times = []
+                for _ in range(5):
                     t0 = time.perf_counter()
                     sblob = multihost.compress_windows_multihost(
                         sl, zt.FLAG_GZIP_FRAMING, workers=w
                     )
-                    dt = min(dt, time.perf_counter() - t0)
+                    times.append(time.perf_counter() - t0)
+                dt = min(times)
                 if single is None:
                     single = (dt, sblob)
                 scaling[f"windows_mode_{w}w_MBps"] = round(len(sl) / 1e6 / dt, 3)
+                scaling[f"windows_mode_{w}w_MBps_spread"] = [
+                    round(len(sl) / 1e6 / max(times), 3),
+                    round(len(sl) / 1e6 / sorted(times)[len(times) // 2], 3),
+                    round(len(sl) / 1e6 / min(times), 3),
+                ]
                 assert sblob == single[1], "windows mode diverged across workers"
             scaling["windows_mode_2w_efficiency"] = round(
                 single[0] / (2 * dt), 3
             )
         except Exception as exc:  # pragma: no cover
             scaling = {"scaling_error": str(exc)[:120]}
+
+    # BASELINE config-5 scale artifact: a large corpus through REAL
+    # jax.distributed windows mode at 2 and 4 processes (gloo CPU
+    # collectives; each process plans its span, psums its corpus
+    # histogram, host 0 combines checksums and stitches). Subprocesses —
+    # must also run before TPU client init.
+    dist_metrics = {}
+    if os.environ.get("BENCH_DIST", "1") != "0":
+        try:
+            dist_bytes = int(os.environ.get("BENCH_DIST_BYTES", 512 << 20))
+            for nproc in (2, 4):
+                out = subprocess.run(
+                    [sys.executable, str(Path(__file__).parent / "scripts" /
+                                          "bench_distributed.py"),
+                     str(dist_bytes), str(nproc)],
+                    check=True, capture_output=True, text=True,
+                ).stdout.strip().splitlines()[-1]
+                d = json.loads(out)
+                assert d["roundtrip_ok"] and d["crc_combined_ok"], d
+                dist_metrics[f"dist_{nproc}p_MBps"] = d["MBps"]
+                dist_metrics[f"dist_{nproc}p_wall_s"] = d["wall_s"]
+            dist_metrics["dist_bytes"] = dist_bytes
+            # 2 physical cores: 2-proc efficiency vs the 1-worker windows
+            # rate; 4-proc is recorded for the decomposition (oversubscribed
+            # on this host, scaling axis is hosts on a pod).
+            if scaling.get("windows_mode_1w_MBps"):
+                dist_metrics["dist_2p_efficiency"] = round(
+                    dist_metrics["dist_2p_MBps"]
+                    / (2 * scaling["windows_mode_1w_MBps"]), 3
+                )
+        except Exception as exc:  # pragma: no cover
+            dist_metrics = {"dist_error": str(exc)[:160]}
 
     # The composed full-device begin-phase (engine "jaxdev": device match
     # tables -> device splitter -> device block planner/DP/Huffman/token
@@ -257,6 +366,8 @@ def main() -> int:
         "reference_same_host_MBps": round(ref_mbps, 3) if ref_mbps else None,
         "speedup_vs_reference_same_host": round(mbps / ref_mbps, 3) if ref_mbps else None,
         "engine": zt.get_engine().name,
+        **mixed_metrics,
+        **dist_metrics,
         **jax_metrics,
         **scaling,
         **sa_metrics,

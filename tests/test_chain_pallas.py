@@ -54,3 +54,18 @@ def test_chain_pallas_all_literals_and_empty():
                                         jnp.asarray(length), n, interpret=True))
     assert got[0].all()
     assert not got[1].any()
+
+
+def test_chain_pallas_multi_lane_group():
+    """Lanes > 128 span several lane-group grid steps."""
+    rng = np.random.default_rng(17)
+    n, B = 512, 150
+    lens = np.where(rng.random((B, n)) < 0.3, rng.integers(3, 259, (B, n)), 0).astype(np.int32)
+    step = np.where(lens >= 3, lens, 1).astype(np.int32)
+    start = np.zeros(B, np.int32)
+    length = np.full(B, n, np.int32)
+    ref = np.asarray(_doubling_marks(jnp.asarray(step), jnp.asarray(start),
+                                     jnp.asarray(length), n))
+    got = np.asarray(chain_marks_pallas(jnp.asarray(step), jnp.asarray(start),
+                                        jnp.asarray(length), n, interpret=True))
+    assert np.array_equal(ref, got)

@@ -217,3 +217,32 @@ def test_compress_device_mesh_sharded(lz_corpus):
     mesh = make_mesh(n_dp=4, n_sp=2)
     got = compress_device(data, zt.FLAG_GZIP_FRAMING, 32768, mesh=mesh)
     assert got == expect
+
+
+def test_jaxdev_queued_stream_batch_parity(lz_corpus, monkeypatch):
+    """The streaming queued begin-phase (windows batched through ONE
+    composed device begin per pipeline-depth lookahead) emits the same
+    bytes as the one-shot path and the native engine — including a
+    chunked feed that splits windows across compress() calls."""
+    import numpy as np
+
+    import zultra_tpu as zt
+    from zultra_tpu import engine as engine_mod
+    from zultra_tpu.stream import Stream
+
+    monkeypatch.setenv("ZULTRA_JAXDEV_QUEUE", "1")
+    data = (lz_corpus["source_code"] * 30)[: 3 * 32768 + 1531]
+    expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
+
+    prev_engine = zt.get_engine()
+    engine_mod.set_engine("jaxdev")
+    try:
+        assert hasattr(zt.get_engine(), "queue_window")
+        s = Stream(zt.FLAG_GZIP_FRAMING, 32768)
+        out = bytearray()
+        for off in range(0, len(data), 50_000):  # chunks straddle windows
+            out += s.compress(data[off : off + 50_000])
+        out += s.compress(b"", 1)
+        assert bytes(out) == expect
+    finally:
+        engine_mod._active_engine = prev_engine

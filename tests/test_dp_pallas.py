@@ -85,3 +85,19 @@ def test_dp_pallas_planner_end_to_end():
         assert np.array_equal(a["lit_len"], b["lit_len"])
         assert np.array_equal(a["off_len"], b["off_len"])
         assert a["best_mask"] == b["best_mask"]
+
+
+def test_dp_pallas_multi_lane_group():
+    """B > 128 spans several lane-group grid steps (grid dim 0); the ring
+    scratch must reset per group and output blocks must be fully
+    written. Lane-group independence: the batched result equals the two
+    halves planned separately (each a single-group call)."""
+    rng = np.random.default_rng(13)
+    n_pad = 512
+    args = _case(rng, n_pad, 150, 0.5, short_lane=False)
+    got_len, got_off = run_dp_pallas(*args, n_pad, interpret=True)
+    for lo, hi in ((0, 75), (75, 150)):
+        half = tuple(a[lo:hi] for a in args)
+        h_len, h_off = run_dp_pallas(*half, n_pad, interpret=True)
+        assert np.array_equal(np.asarray(h_len), np.asarray(got_len)[lo:hi])
+        assert np.array_equal(np.asarray(h_off), np.asarray(got_off)[lo:hi])

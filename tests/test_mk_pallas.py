@@ -46,3 +46,14 @@ def test_mk_pallas_literal_alphabet():
     hist[2] = (rng.random(288) < 0.1) * rng.integers(1, 1 << 20, 288)  # skewed
     ref, got = _run_both(jnp.asarray(hist), 15)
     assert np.array_equal(ref, got)
+
+
+def test_mk_pallas_multi_lane_group():
+    """B > 128 spans several lane-group grid steps — regression for the
+    uninitialized-output-block bug (outputs are NOT seeded by HBM
+    aliasing; the kernel must copy in explicitly)."""
+    rng = np.random.default_rng(9)
+    hist = rng.integers(0, 500, (300, 32)).astype(np.int32)
+    hist[rng.random((300, 32)) < 0.4] = 0
+    ref, got = _run_both(jnp.asarray(hist), 7)
+    assert np.array_equal(ref, got)

@@ -239,18 +239,23 @@ def test_window_plan_serialization_roundtrip(lz_corpus):
     assert buf1[:n1] == buf2[:n2]
 
 
-def test_windows_mode_jax_distributed_2proc(lz_corpus, tmp_path):
-    """Windows mode through REAL jax.distributed: two coordinated
-    processes (gloo CPU collectives), each planning its window span,
-    plans exchanged via process_allgather, process 0 stitching — the
-    output is byte-identical to the single-process stream."""
+import pytest
+
+
+@pytest.mark.parametrize("n_procs", [2, 4])
+def test_windows_mode_jax_distributed(lz_corpus, tmp_path, n_procs):
+    """Windows mode through REAL jax.distributed: coordinated processes
+    (gloo CPU collectives), each planning its window span, plans AND
+    checksum partials exchanged via process_allgather, process 0
+    stitching with associative checksum combines — the output is
+    byte-identical to the single-process stream."""
     import socket
     import subprocess
     import sys
 
     import zultra_tpu as zt
 
-    data = (lz_corpus["source_code"] * 40)[: 5 * 32768 + 321]
+    data = (lz_corpus["source_code"] * 80)[: (2 * n_procs + 1) * 32768 + 321]
     corpus = tmp_path / "corpus.bin"
     corpus.write_bytes(data)
     out_path = tmp_path / "dist_out.gz"
@@ -267,7 +272,7 @@ def test_windows_mode_jax_distributed_2proc(lz_corpus, tmp_path):
         "jax.config.update('jax_cpu_collectives_implementation', 'gloo')\n"
         "pid = int(sys.argv[1])\n"
         "jax.distributed.initialize(coordinator_address='localhost:%d',\n"
-        "                           num_processes=2, process_id=pid)\n"
+        "                           num_processes=%d, process_id=pid)\n"
         "sys.path.insert(0, %r)\n"
         "import zultra_tpu as zt\n"
         "from zultra_tpu.parallel.multihost import compress_windows_jax_distributed\n"
@@ -276,17 +281,37 @@ def test_windows_mode_jax_distributed_2proc(lz_corpus, tmp_path):
         "assert (blob is None) == (pid != 0)\n"
         "if pid == 0:\n"
         "    open(%r, 'wb').write(blob)\n"
-    ) % (port, str(Path(__file__).resolve().parent.parent), str(corpus), str(out_path))
+    ) % (port, n_procs, str(Path(__file__).resolve().parent.parent), str(corpus), str(out_path))
 
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", script, str(i)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for i in range(2)
+        for i in range(n_procs)
     ]
     outs = [p.communicate(timeout=300)[0] for p in procs]
     assert all(p.returncode == 0 for p in procs), outs
 
     expect = zt.compress(data, zt.FLAG_GZIP_FRAMING, 32768)
     assert out_path.read_bytes() == expect
+
+
+def test_windows_mode_dictionary_byte_identical(lz_corpus):
+    """Windows mode with a preset dictionary (config-4 shape: block/window
+    data parallelism with shared history) equals the streaming core's
+    dictionary path byte for byte, with worker-side checksum partials."""
+    import zlib
+
+    import zultra_tpu as zt
+    from zultra_tpu.parallel.multihost import compress_windows_multihost
+
+    data = (lz_corpus["source_code"] * 40)[: 4 * 32768 + 913]
+    dictionary = lz_corpus["source_code"][:8192]
+    got = compress_windows_multihost(
+        data, zt.FLAG_ZLIB_FRAMING, 32768, workers=2, dictionary=dictionary
+    )
+    expect = zt.compress(data, zt.FLAG_ZLIB_FRAMING, 32768, dictionary=dictionary)
+    assert got == expect
+    d = zlib.decompressobj(zdict=dictionary)
+    assert d.decompress(got) + d.flush() == data

@@ -60,10 +60,13 @@ def _sweep_scatter(aref, S, ptr, value, mask, lanes=LANES):
 
 
 def _mk12_kernel(n_used_ref, a_in_ref, a_ref):
-    """MK phases 1+2 in place over a_ref (S, 128) = sorted weights
-    (row-major ascending; unused slots never read). ``a_in_ref`` is the
-    same buffer (input_output_aliases)."""
-    del a_in_ref  # aliased with a_ref
+    """MK phases 1+2 over a_ref (S, 128), seeded from the sorted weights
+    in a_in_ref (row-major ascending; unused slots never read). The
+    explicit copy-in matters: an output block's VMEM buffer holds
+    GARBAGE until written (aliasing the HBM buffers does NOT seed it —
+    it happens to with a single-step grid, which is why a G=1 test
+    passes and G>1 corrupts)."""
+    a_ref[:] = a_in_ref[:]
     S = a_ref.shape[0]
     n_used = n_used_ref[0:1, :]
 
@@ -124,7 +127,6 @@ def _mk12_call(a0, n_used8, interpret: bool):
         ],
         out_specs=pl.BlockSpec((S, LANES), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
-        input_output_aliases={1: 0},
         interpret=interpret,
     )(n_used8, a0)
 
@@ -149,10 +151,11 @@ def mk_phase12_pallas(a0, n_used, interpret: bool | None = None):
 
 
 def _kraft_kernel(n_used_ref, kraft_ref, maxlen_ref, lens_in_ref, lens_ref):
-    """Kraft repair in place over lens_ref (S, 128) = lengths clamped to
-    max_len, sorted by (length, symbol) ascending; kraft_ref row 0 holds
-    the initial Kraft sum. ``lens_in_ref`` aliases lens_ref."""
-    del lens_in_ref
+    """Kraft repair over lens_ref (S, 128), seeded from lens_in_ref =
+    lengths clamped to max_len, sorted by (length, symbol) ascending;
+    kraft_ref row 0 holds the initial Kraft sum. Explicit copy-in — see
+    _mk12_kernel."""
+    lens_ref[:] = lens_in_ref[:]
     S = lens_ref.shape[0]
     n_used = n_used_ref[0:1, :]
     max_len = maxlen_ref[0:1, :]
@@ -211,7 +214,6 @@ def _kraft_call(clamped, n_used8, kraft8, maxlen8, interpret: bool):
         ],
         out_specs=pl.BlockSpec((S, LANES), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
-        input_output_aliases={3: 0},
         interpret=interpret,
     )(n_used8, kraft8, maxlen8, clamped)
 

@@ -183,7 +183,6 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
         return h + part[:, :NBINS]
 
     C_cap = in_cap // 256 + MAX_RANGES  # flat candidate capacity per level
-    K_CAP = min(C_cap, C_cap // 4 + MAX_RANGES)  # compact trigger capacity
 
     # Range state.
     r_bs = jnp.full(MAX_RANGES, 0, jnp.int32).at[0].set(prev)
@@ -269,30 +268,14 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
             H_right = H_right.at[:, NEODMARKERSYM].set(1)
             return H_left, H_right
 
-        # Cost evaluation only happens at drift TRIGGERS (exactly like
-        # the reference walk) and triggers are sparse, so the MK batch —
-        # the splitter's dominant cost — compacts to the triggered
-        # candidates (capacity K_CAP). The rare level with more triggers
-        # falls back to evaluating every candidate (bit-identical either
-        # way; the compact path computes the same costs for the same
-        # histograms).
-        t_rank = jnp.cumsum(trigger.astype(jnp.int32)) - trigger
-        n_trig = jnp.sum(trigger.astype(jnp.int32))
-
-        def delta_compact(_):
-            cslot = jnp.where(trigger & (t_rank < K_CAP), t_rank, K_CAP)
-            pi_c = jnp.zeros(K_CAP + 1, jnp.int32).at[cslot].set(pi_s)[:K_CAP]
-            rng_c = jnp.zeros(K_CAP + 1, jnp.int32).at[cslot].set(cand_rng)[:K_CAP]
-            H_left, H_right = lr_hists(pi_c, rng_c)
-            delta_c = mk_delta(H_left, H_right, rng_c, K_CAP)
-            back = jnp.where(trigger, jnp.clip(t_rank, 0, K_CAP - 1), K_CAP)
-            return jnp.concatenate([delta_c, jnp.full(1, -1, jnp.int32)])[back]
-
-        def delta_full(_):
-            H_left, H_right = lr_hists(pi_s, cand_rng)
-            return mk_delta(H_left, H_right, cand_rng, C_cap)
-
-        delta = lax.cond(n_trig <= K_CAP, delta_compact, delta_full, 0)
+        # Cost evaluation only matters at drift TRIGGERS (exactly like
+        # the reference walk), but evaluating every candidate in one
+        # batch is a single straight-line program — the MK batch runs in
+        # the VMEM-resident Pallas kernels (ops/mk_pallas) on TPU, so the
+        # extra lanes are effectively free, and the vmapped lax.cond a
+        # compacted variant would need executes BOTH branches anyway.
+        H_left, H_right = lr_hists(pi_s, cand_rng)
+        delta = mk_delta(H_left, H_right, cand_rng, C_cap)
         good = trigger & (delta >= 0)
         key = jnp.where(good, delta, -1)
 

@@ -214,7 +214,8 @@ def plan_window_span(data, window_spans_slice, n_threads: int = 1):
 
 
 def stitch_window_plans(blobs, flags, data, max_block_size: int,
-                        checksum_parts=None, data_len: int | None = None) -> bytes:
+                        checksum_parts=None, data_len: int | None = None,
+                        dictionary: bytes | None = None) -> bytes:
     """Host-0 step: emit planned windows in stream order at the true bit
     phase, wrap in container framing. With ``checksum_parts`` (ordered
     worker (value, length) partials) the stream checksum is an O(workers)
@@ -226,7 +227,7 @@ def stitch_window_plans(blobs, flags, data, max_block_size: int,
     if data_len is None:
         data_len = len(data)
     out = bytearray()
-    out += frame.encode_header(flags, None)
+    out += frame.encode_header(flags, dictionary)
     if checksum_parts is not None:
         total = sum(length for _, length in checksum_parts)
         if total != data_len:
@@ -264,28 +265,44 @@ def _plan_span_worker(args):
 
 
 def compress_windows_multihost(
-    data: bytes, flags: int = 0, max_block_size: int = 0, workers: int = 2
+    data: bytes, flags: int = 0, max_block_size: int = 0, workers: int = 2,
+    dictionary: bytes | None = None,
 ) -> bytes:
     """Single-stream compression with window planning fanned out across
     worker processes (the pod equivalent: one span per host over DCN,
-    blobs gathered to host 0). Byte-identical to the one-process stream."""
+    blobs gathered to host 0). Byte-identical to the one-process stream.
+    A preset ``dictionary`` (≤32 KB) prefixes the first window's history
+    exactly like the streaming core's set_dictionary (config-4 shape:
+    data-parallel over blocks WITH a shared dictionary)."""
     import multiprocessing as mp
 
-    from ..stream import clamp_block_size
+    from ..constants import HISTORY_SIZE
+    from ..stream import StreamError, clamp_block_size
 
     global _FORK_DATA
     max_block_size = clamp_block_size(max_block_size)
-    spans = window_spans(len(data), max_block_size)
+    dict_b = bytes(dictionary) if dictionary else b""
+    if len(dict_b) > HISTORY_SIZE:
+        raise StreamError(
+            f"dictionary exceeds the {HISTORY_SIZE}-byte history window"
+        )
+    base = len(dict_b)
+    corpus = dict_b + bytes(data) if dict_b else data
+    spans = [(base + lo, base + hi)
+             for lo, hi in window_spans(len(data), max_block_size)]
     if workers <= 1 or len(spans) == 1:
-        blobs = plan_window_span(data, spans)
-        return stitch_window_plans(blobs, flags, data, max_block_size)
+        blobs = plan_window_span(corpus, spans)
+        return stitch_window_plans(
+            blobs, flags, data, max_block_size, data_len=len(data),
+            dictionary=dict_b if dict_b else None,
+        )
 
     # Contiguous, balanced window ranges per worker. Each worker also
     # hashes its own byte span; host 0 only combines the partials.
     per = -(-len(spans) // workers)
     chunks = [spans[i : i + per] for i in range(0, len(spans), per)]
 
-    _FORK_DATA = data
+    _FORK_DATA = corpus
     try:
         ctx = mp.get_context("fork")
         with ctx.Pool(len(chunks)) as pool:
@@ -295,11 +312,13 @@ def compress_windows_multihost(
     blobs = [b for blobs_c, _ in results for b in blobs_c]
     parts = [part for _, part in results]
     return stitch_window_plans(blobs, flags, data, max_block_size,
-                               checksum_parts=parts)
+                               checksum_parts=parts, data_len=len(data),
+                               dictionary=dict_b if dict_b else None)
 
 
 def compress_windows_jax_distributed(
-    data: bytes, flags: int = 0, max_block_size: int = 0
+    data: bytes, flags: int = 0, max_block_size: int = 0,
+    dictionary: bytes | None = None,
 ) -> bytes | None:
     """Windows mode over an initialized ``jax.distributed`` job: this
     process plans its contiguous span of the stream's windows, all
@@ -321,12 +340,16 @@ def compress_windows_jax_distributed(
 
     idx, count = jax.process_index(), jax.process_count()
     max_block_size = clamp_block_size(max_block_size)
-    spans = window_spans(len(data), max_block_size)
+    dict_b = bytes(dictionary) if dictionary else b""
+    base = len(dict_b)
+    corpus = dict_b + bytes(data) if dict_b else data
+    spans = [(base + lo, base + hi)
+             for lo, hi in window_spans(len(data), max_block_size)]
     per = -(-len(spans) // count)
     mine = spans[idx * per : (idx + 1) * per]
-    blobs = plan_window_span(data, mine)
+    blobs = plan_window_span(corpus, mine)
     part = (
-        span_checksum_partial(data, mine[0][0], mine[-1][1], flags)
+        span_checksum_partial(corpus, mine[0][0], mine[-1][1], flags)
         if mine else (0, 0)
     )
 
@@ -359,7 +382,8 @@ def compress_windows_jax_distributed(
             o += 4 + ln
     assert len(all_blobs) == len(spans)
     return stitch_window_plans(all_blobs, flags, data, max_block_size,
-                               checksum_parts=parts)
+                               checksum_parts=parts, data_len=len(data),
+                               dictionary=dict_b if dict_b else None)
 
 
 # ---------------------------------------------------------------------------

@@ -201,6 +201,24 @@ class Stream:
         prev = self.previous_block_size
         window = self.window[HISTORY_SIZE - prev : HISTORY_SIZE + in_size]
 
+        if hasattr(self.engine, "queue_window"):
+            # Batched device path (jaxdev): windows queue on this thread
+            # in stream order; the engine plans the whole lookahead in
+            # ONE composed device batch when the first plan is needed —
+            # stream throughput matches the one-shot batched begin-phase
+            # instead of paying per-window device latency.
+            window_is_last = bool(finalize) and not remaining
+            depth = getattr(self.engine, "pipeline_depth", PIPELINE_DEPTH)
+            out_head = b""
+            if len(self._pending) >= depth:
+                out_head = self._drain_pending()
+            handle = self.engine.queue_window(
+                np.ascontiguousarray(window).copy(), prev, in_size
+            )
+            self._pending.append((handle, window_is_last))
+            self._slide_history(in_size)
+            return out_head + self._drain_pending(only_ready=True)
+
         if hasattr(self.engine, "begin_window"):
             # Pipelined native path: submit the bit-phase-independent
             # planning (match finding, splitting, DP convergence) to a
