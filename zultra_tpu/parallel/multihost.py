@@ -298,7 +298,8 @@ def compress_windows_multihost(
         )
 
     # Contiguous, balanced window ranges per worker. Each worker also
-    # hashes its own byte span; host 0 only combines the partials.
+    # hashes its own byte span; host 0 only combines the ordered
+    # partials.
     per = -(-len(spans) // workers)
     chunks = [spans[i : i + per] for i in range(0, len(spans), per)]
 
