@@ -86,6 +86,30 @@ BUDGET_LADDER = tuple(
 )
 
 
+def _mf_impl() -> str:
+    """'walk' (the on-core SMEM lazy-walk kernel, ops/walk_pallas — the
+    measured winner on the v5e at 2.2x the staircase per core byte) or
+    'staircase' (sorts + gathers — every backend, and the mesh path).
+    ZULTRA_MF_IMPL overrides; auto picks walk on TPU."""
+    choice = os.environ.get("ZULTRA_MF_IMPL", "auto")
+    if choice == "auto":
+        import jax as _jax
+
+        return "walk" if _jax.default_backend() == "tpu" else "staircase"
+    return choice
+
+
+def _seg_geometry(mesh=None):
+    """(seg_core, L) for the active matchfinder impl. The walk kernel
+    engages only on the local path: under a mesh the staircase's vmapped
+    shard_map remains the sharded form."""
+    if mesh is None and _mf_impl() == "walk":
+        from .walk_pallas import PROD_N
+
+        return PROD_N - HALO - TAIL, PROD_N
+    return SEG_CORE, HALO + SEG_CORE + TAIL
+
+
 def _adjacent_lcp(sa: jnp.ndarray, ranks: jnp.ndarray, n: int) -> jnp.ndarray:
     """lcp(SA[r-1], SA[r]) for r in 1..n-1 via the doubling rank tables."""
     i_pos = sa[1:]
@@ -384,7 +408,7 @@ VMAP_CHUNK = 8
 def match_tables_for_spans(
     data: np.ndarray,
     spans,
-    seg_core: int = SEG_CORE,
+    seg_core: int | None = None,
     budget_factor: int = 16,
     mesh=None,
 ) -> list[np.ndarray]:
@@ -395,6 +419,11 @@ def match_tables_for_spans(
     Returns one (prev+in_size, 8, 2) int32 table per window."""
     import jax
     import jax.numpy as jnp
+
+    use_walk = False
+    if seg_core is None:
+        seg_core, _ = _seg_geometry(mesh)
+        use_walk = mesh is None and _mf_impl() == "walk"
 
     data = np.asarray(data, dtype=np.uint8)
     segbufs, metas = build_segments(data, spans, seg_core)
@@ -420,9 +449,14 @@ def match_tables_for_spans(
             if n_real < VMAP_CHUNK:
                 pad = np.broadcast_to(chunk[-1], (VMAP_CHUNK - n_real, L))
                 chunk = np.concatenate([chunk, pad])
-            out = _chunk_kernel(
-                jnp.asarray(chunk), L, budget_factor, HALO, seg_core
-            )
+            if use_walk:
+                from .walk_pallas import walk_chunk_kernel
+
+                out = walk_chunk_kernel(jnp.asarray(chunk), L, HALO, seg_core)
+            else:
+                out = _chunk_kernel(
+                    jnp.asarray(chunk), L, budget_factor, HALO, seg_core
+                )
             in_flight.append((n_real, out))
             if len(in_flight) > DEPTH:
                 drain_one()
@@ -508,7 +542,8 @@ def match_table_device(
     [0, start) are zero (history positions report no matches)."""
     window = np.asarray(window, dtype=np.uint8)
     budget = budget_factor if budget_factor is not None else BUDGET_LADDER[0]
-    seg_core = SEG_CORE
+    seg_core, _ = _seg_geometry()
+    use_walk = _mf_impl() == "walk"
     segbufs, metas = build_segments(window[:end], [(start, end)], seg_core)
     S, L = segbufs.shape
 
@@ -519,7 +554,12 @@ def match_table_device(
         if n_real < VMAP_CHUNK:
             pad = np.broadcast_to(chunk[-1], (VMAP_CHUNK - n_real, L))
             chunk = np.concatenate([chunk, pad])
-        cl, co, cv = _chunk_kernel(jnp.asarray(chunk), L, budget, HALO, seg_core)
+        if use_walk:
+            from .walk_pallas import walk_chunk_kernel
+
+            cl, co, cv = walk_chunk_kernel(jnp.asarray(chunk), L, HALO, seg_core)
+        else:
+            cl, co, cv = _chunk_kernel(jnp.asarray(chunk), L, budget, HALO, seg_core)
         lens_c.append(cl[:n_real])
         offs_c.append(co[:n_real])
         over_c.append(cv[:n_real])
@@ -589,7 +629,8 @@ def match_tables_device_stacked(corpus: np.ndarray, spans, mbs: int,
     serial scan latency across the whole window batch."""
     corpus = np.asarray(corpus, dtype=np.uint8)
     budget = budget_factor if budget_factor is not None else BUDGET_LADDER[0]
-    seg_core = SEG_CORE
+    seg_core, _ = _seg_geometry(mesh)
+    use_walk = mesh is None and _mf_impl() == "walk"
     W = len(spans)
     k = -(-mbs // seg_core)
     for w_lo, w_hi in spans[:-1]:
@@ -605,7 +646,12 @@ def match_tables_device_stacked(corpus: np.ndarray, spans, mbs: int,
             if n_real < VMAP_CHUNK:
                 pad = np.broadcast_to(chunk[-1], (VMAP_CHUNK - n_real, L))
                 chunk = np.concatenate([chunk, pad])
-            cl, co, cv = _chunk_kernel(jnp.asarray(chunk), L, budget, HALO, seg_core)
+            if use_walk:
+                from .walk_pallas import walk_chunk_kernel
+
+                cl, co, cv = walk_chunk_kernel(jnp.asarray(chunk), L, HALO, seg_core)
+            else:
+                cl, co, cv = _chunk_kernel(jnp.asarray(chunk), L, budget, HALO, seg_core)
             lens_c.append(cl[:n_real])
             offs_c.append(co[:n_real])
             over_c.append(cv[:n_real])
