@@ -139,7 +139,7 @@ def begin_window_device(window: np.ndarray, prev: int, in_size: int,
     from .ops.matchfinder_jax import match_table_device
     from .ops.split_jax import _batch_chain_marks
     from .ops.split_jax import _bucket as _split_bucket
-    from .ops.split_jax import _input_cap, _split_kernel
+    from .ops.split_jax import _input_cap, _split_kernel, _trig_cap
 
     lens, offs = match_table_device(window, prev, n)
     win_dev = jnp.asarray(window[:n])
@@ -152,10 +152,16 @@ def begin_window_device(window: np.ndarray, prev: int, in_size: int,
     tok = _batch_chain_marks(
         rl[None, :], jnp.int32(prev), jnp.asarray([n], jnp.int32), n_pad_w
     )
-    splits_arr, n_splits, _ = _split_kernel(
+    in_cap = _input_cap(in_size)
+    splits_arr, n_splits, _, ovf = _split_kernel(
         win_p, rl, ro, jnp.int32(prev), jnp.int32(n), n_pad_w,
-        _input_cap(in_size), None if tok is None else tok[0],
+        in_cap, None if tok is None else tok[0], trig_cap=_trig_cap(in_cap),
     )
+    if bool(ovf):
+        splits_arr, n_splits, _, _ = _split_kernel(
+            win_p, rl, ro, jnp.int32(prev), jnp.int32(n), n_pad_w,
+            in_cap, None if tok is None else tok[0], trig_cap=0,
+        )
     splits = [int(x) for x in np.asarray(splits_arr[: int(n_splits)])]
     splits.append(n)
     spans = []
@@ -242,6 +248,7 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int, mesh=None):
         _bucket as _split_bucket,
         _input_cap,
         _split_kernel_batch,
+        _trig_cap,
     )
 
     W = len(spans)
@@ -265,10 +272,21 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int, mesh=None):
     ro = jnp.concatenate([offs_st[:, :, 0].astype(jnp.int32), ztail], axis=1)
     n_reals_np = np.array([HALO + (hi - lo) for lo, hi in spans], dtype=np.int32)
     if mesh is None:
-        splits_arr, n_splits, tok_marks = _split_kernel_batch(
+        in_cap = _input_cap(mbs)
+        splits_arr, n_splits, tok_marks, ovf = _split_kernel_batch(
             win_p, rl, ro, jnp.int32(HALO), jnp.asarray(n_reals_np), n_pad_w,
-            _input_cap(mbs),
+            in_cap, trig_cap=_trig_cap(in_cap),
         )
+        ovf_np = np.asarray(ovf)
+        if ovf_np.any():
+            # Exact per-lane retry with every candidate slot evaluated.
+            full = _split_kernel_batch(
+                win_p, rl, ro, jnp.int32(HALO), jnp.asarray(n_reals_np),
+                n_pad_w, in_cap, trig_cap=0,
+            )
+            sel = jnp.asarray(ovf_np)[:, None]
+            splits_arr = jnp.where(sel, full[0], splits_arr)
+            n_splits = jnp.where(jnp.asarray(ovf_np), full[1], n_splits)
     else:
         from .ops.split_jax import _split_kernel_sharded
 
@@ -283,7 +301,7 @@ def _begin_windows_batched(corpus: np.ndarray, spans, mbs: int, mesh=None):
             n_reals_np = np.concatenate(
                 [n_reals_np, np.zeros(W_pad - W, np.int32)]
             )
-        splits_arr, n_splits, tok_marks = _split_kernel_sharded(
+        splits_arr, n_splits, tok_marks, _ = _split_kernel_sharded(
             mesh, n_pad_w, _input_cap(mbs)
         )(
             win_p, rl, ro, jnp.full((1,), HALO, jnp.int32),

@@ -122,17 +122,28 @@ def _token_structure(window, row_len, row_off, prev, n_real, n: int,
     return n_tok, starts, ends, bucket_t, sym1_t, sym2_t, is_tok
 
 
-@functools.partial(jax.jit, static_argnames=("n", "in_cap"))
+def _trig_cap(in_cap: int) -> int:
+    """Default triggered-candidate budget: measured trigger density is
+    ~60/level on text and ~260/level on mixed data per 1 MB window
+    (scripts in round 5), so in_cap/1024 with a 64 floor covers real
+    corpora with wide margin; the exact overflow retry handles the rest."""
+    return max(64, in_cap >> 10)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "in_cap", "trig_cap"))
 def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
-                  in_cap: int | None = None, tok_in=None):
+                  in_cap: int | None = None, tok_in=None,
+                  trig_cap: int = 0):
     """Split points for the window range [prev, n_real). ``n`` is the
     static padded buffer size (few compiled shapes); prev/n_real are
     traced. ``in_cap`` (static) bounds the INPUT bytes (n_real - prev) —
-    tokens and checkpoint candidates can never exceed it, so passing the
-    stream's max block size (instead of the padded buffer size) shrinks
-    the candidate batch the MK cost estimator runs on, which is where
-    the splitter's device time goes. Returns (splits (64,) int32
-    ascending with INF padding, n_splits)."""
+    tokens and checkpoint candidates can never exceed it. ``trig_cap``
+    > 0 compacts each level's MK cost evaluation to the first trig_cap
+    DRIFT-TRIGGERED candidates (the only ones whose cost the reference
+    evaluates); a level with more triggers sets the returned ``ovf``
+    flag and the caller retries that lane with trig_cap=0 (exact).
+    Returns (splits (64,) int32 ascending with INF padding, n_splits,
+    tok_marks, ovf)."""
     if in_cap is None:
         in_cap = n
     n_tok, starts, ends, bucket_t, sym1_t, sym2_t, tok_marks = _token_structure(
@@ -184,7 +195,13 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
 
     C_cap = in_cap // 256 + MAX_RANGES  # flat candidate capacity per level
 
-    # Range state.
+    # Range state. Boundary histograms and total costs are CARRIED
+    # across levels instead of recomputed: a child's total histogram and
+    # cost are exactly the left/right histogram and cost evaluated at
+    # its parent's winning split (the reference recomputes them from the
+    # tokens — reference src/blockdeflate.c:614-618 — but the values are
+    # identical, so carrying is exact and saves two 64-lane prefix-hist
+    # passes plus 64 MK lanes per level).
     r_bs = jnp.full(MAX_RANGES, 0, jnp.int32).at[0].set(prev)
     r_be = jnp.zeros(MAX_RANGES, jnp.int32).at[0].set(n_real)
     r_ts = jnp.zeros(MAX_RANGES, jnp.int32)
@@ -193,12 +210,22 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
     n_ranges = jnp.int32(1)
     splits = jnp.full(MAX_SPLITS, INF32)
     n_splits = jnp.int32(0)
+    ovf = jnp.zeros((), jnp.bool_)
+
+    # Initial state for range 0: H_ts = prefix over zero tokens = 0.
+    hte0 = prefix_hist_incl(jnp.clip(r_te[:1], 1, n) - 1)  # (1, NBINS)
+    r_Hts = jnp.zeros((MAX_RANGES, NBINS), jnp.int32)
+    r_Hte = jnp.zeros((MAX_RANGES, NBINS), jnp.int32).at[0].set(hte0[0])
+    htot0 = hte0.at[:, NEODMARKERSYM].add(1)
+    cost0 = dynamic_cost(htot0[:, :NLITERALSYMS], htot0[:, NLITERALSYMS:])
+    r_cost = jnp.zeros(MAX_RANGES, cost0.dtype).at[0].set(cost0[0])
 
     cand_slot = jnp.arange(C_cap, dtype=jnp.int32)
     rng_iota = jnp.arange(MAX_RANGES, dtype=jnp.int32)
 
     def level_body(_, state):
-        r_bs, r_be, r_ts, r_te, r_act, n_ranges, splits, n_splits = state
+        (r_bs, r_be, r_ts, r_te, r_act, n_ranges, splits, n_splits,
+         r_Hts, r_Hte, r_cost, ovf) = state
 
         eligible = r_act & ((r_be - r_bs) >= 8192)
 
@@ -236,62 +263,61 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
             (total_delta // 256) >= (n_stats * 45 // 100)
         )
 
-        # Histograms: range totals and candidate lefts.
-        H_ts = prefix_hist_incl(jnp.clip(r_ts, 0, n) - 1)  # (64, 320)
-        H_te = prefix_hist_incl(jnp.clip(r_te, 1, n) - 1)
-        H_total = H_te - H_ts
-        H_total = H_total.at[:, NEODMARKERSYM].add(1)
-
-        def mk_delta(H_left, H_right, rng_of_lane, n_lanes):
-            """delta = total - (left + right) for n_lanes candidate
-            lanes, in ONE batched MK cost evaluation with the 64 range
-            totals prepended."""
-            lit_all = jnp.concatenate(
-                [H_total[:, :NLITERALSYMS], H_left[:, :NLITERALSYMS],
-                 H_right[:, :NLITERALSYMS]]
-            )
-            off_all = jnp.concatenate(
-                [H_total[:, NLITERALSYMS:], H_left[:, NLITERALSYMS:],
-                 H_right[:, NLITERALSYMS:]]
-            )
-            costs = dynamic_cost(lit_all, off_all)
-            total_cost = costs[:MAX_RANGES]
-            left_cost = costs[MAX_RANGES : MAX_RANGES + n_lanes]
-            right_cost = costs[MAX_RANGES + n_lanes :]
-            return total_cost[rng_of_lane] - (left_cost + right_cost)
-
-        def lr_hists(pi_lane, rng_lane):
-            H_pi = prefix_hist_incl(pi_lane)
-            H_left = H_pi - H_ts[rng_lane]
-            H_left = H_left.at[:, NEODMARKERSYM].set(1)
-            H_right = H_total[rng_lane] - H_left
-            H_right = H_right.at[:, NEODMARKERSYM].set(1)
-            return H_left, H_right
-
         # Cost evaluation only matters at drift TRIGGERS (exactly like
-        # the reference walk), but evaluating every candidate in one
-        # batch is a single straight-line program — the MK batch runs in
-        # the VMEM-resident Pallas kernels (ops/mk_pallas) on TPU, so the
-        # extra lanes are effectively free, and the vmapped lax.cond a
-        # compacted variant would need executes BOTH branches anyway.
-        H_left, H_right = lr_hists(pi_s, cand_rng)
-        delta = mk_delta(H_left, H_right, cand_rng, C_cap)
-        good = trigger & (delta >= 0)
+        # the reference walk). With trig_cap > 0 the level compacts to
+        # the first trig_cap triggered slots (ascending, preserving the
+        # earliest-on-ties rule); more triggers than that sets ovf and
+        # the caller retries exactly. trig_cap = 0 evaluates every slot.
+        if trig_cap > 0:
+            Kc = min(trig_cap, C_cap)
+            okey = jnp.where(trigger, cand_slot, C_cap + cand_slot)
+            okey_sorted = lax.sort(okey)
+            sel = okey_sorted[:Kc]
+            real = sel < C_cap
+            sel = jnp.where(real, sel, sel - C_cap)
+            ovf = ovf | (jnp.sum(trigger.astype(jnp.int32)) > Kc)
+            pi_l = pi_s[sel]
+            rng_l = cand_rng[sel]
+            slot_l = sel
+            lane_iota = jnp.arange(Kc, dtype=jnp.int32)
+        else:
+            Kc = C_cap
+            real = trigger
+            pi_l = pi_s
+            rng_l = cand_rng
+            slot_l = cand_slot
+            lane_iota = cand_slot
+
+        H_pi = prefix_hist_incl(pi_l)  # (Kc, NBINS)
+        H_tot = (r_Hte - r_Hts)[rng_l].at[:, NEODMARKERSYM].add(1)
+        H_left = (H_pi - r_Hts[rng_l]).at[:, NEODMARKERSYM].set(1)
+        H_right = (H_tot - H_left).at[:, NEODMARKERSYM].set(1)
+        costs = dynamic_cost(
+            jnp.concatenate([H_left[:, :NLITERALSYMS], H_right[:, :NLITERALSYMS]]),
+            jnp.concatenate([H_left[:, NLITERALSYMS:], H_right[:, NLITERALSYMS:]]),
+        )
+        left_cost = costs[:Kc]
+        right_cost = costs[Kc:]
+        delta = (r_cost[rng_l] - (left_cost + right_cost)).astype(jnp.int32)
+        good = real & (delta >= 0)
         key = jnp.where(good, delta, -1)
 
-        # Per-range best: max delta, earliest candidate on ties.
-        best_delta = jnp.full(MAX_RANGES, -1, jnp.int32).at[cand_rng].max(
-            jnp.where(slot_valid, key, -1)
-        )
-        is_best = good & (key == best_delta[cand_rng]) & (best_delta[cand_rng] >= 0)
-        best_slot = jnp.full(MAX_RANGES, C_cap, jnp.int32).at[
-            jnp.where(is_best, cand_rng, MAX_RANGES)
-        ].min(cand_slot, mode="drop")
-        found = best_slot < C_cap
+        # Per-range best: max delta, earliest candidate on ties (lane
+        # order is ascending original-slot order on both paths).
+        best_delta = jnp.full(MAX_RANGES, -1, jnp.int32).at[rng_l].max(key)
+        is_best = good & (key == best_delta[rng_l]) & (best_delta[rng_l] >= 0)
+        best_lane = jnp.full(MAX_RANGES, Kc, jnp.int32).at[
+            jnp.where(is_best, rng_l, MAX_RANGES)
+        ].min(lane_iota, mode="drop")
+        found = best_lane < Kc
 
-        bs_safe = jnp.clip(best_slot, 0, C_cap - 1)
+        bl_safe = jnp.clip(best_lane, 0, Kc - 1)
+        bs_safe = jnp.clip(slot_l[bl_safe], 0, C_cap - 1)
         sp_tok = pi[bs_safe] + 1  # right child's first token
         sp_byte = ends[jnp.clip(pi[bs_safe], 0, n - 1)]
+        Hpi_b = H_pi[bl_safe]  # (64, NBINS) winner boundary hists
+        lc_b = left_cost[bl_safe]
+        rc_b = right_cost[bl_safe]
 
         # Emit splits (order is irrelevant; sorted at the end).
         rank = jnp.cumsum(found.astype(jnp.int32)) - found
@@ -309,22 +335,30 @@ def _split_kernel(window, row_len, row_off, prev, n_real, n: int,
         r_ts = r_ts.at[new_slot].set(sp_tok, mode="drop")
         r_te = r_te.at[new_slot].set(r_te, mode="drop")
         r_act = r_act.at[new_slot].set(True, mode="drop")
+        r_Hts = r_Hts.at[new_slot].set(Hpi_b, mode="drop")
+        r_Hte = r_Hte.at[new_slot].set(r_Hte, mode="drop")
+        r_cost = r_cost.at[new_slot].set(rc_b, mode="drop")
 
         is_parent = jnp.arange(MAX_RANGES, dtype=jnp.int32) < n_ranges
-        r_be = jnp.where(is_parent & found, sp_byte, r_be)
-        r_te = jnp.where(is_parent & found, sp_tok, r_te)
+        pf = is_parent & found
+        r_be = jnp.where(pf, sp_byte, r_be)
+        r_te = jnp.where(pf, sp_tok, r_te)
+        r_Hte = jnp.where(pf[:, None], Hpi_b, r_Hte)
+        r_cost = jnp.where(pf, lc_b, r_cost)
         r_act = jnp.where(is_parent, found, r_act)
         n_ranges = n_ranges + n_found
-        return r_bs, r_be, r_ts, r_te, r_act, n_ranges, splits, n_splits
+        return (r_bs, r_be, r_ts, r_te, r_act, n_ranges, splits, n_splits,
+                r_Hts, r_Hte, r_cost, ovf)
 
-    state = (r_bs, r_be, r_ts, r_te, r_act, n_ranges, splits, n_splits)
+    state = (r_bs, r_be, r_ts, r_te, r_act, n_ranges, splits, n_splits,
+             r_Hts, r_Hte, r_cost, ovf)
     state = lax.fori_loop(0, N_LEVELS, level_body, state)
-    _, _, _, _, _, _, splits, n_splits = state
+    splits, n_splits, ovf = state[6], state[7], state[11]
     # tok_marks: the window-global greedy token-start mask. The greedy
     # chain is memoryless and split points are token starts, so every
     # block's greedy walk is a subpath — the planner reuses these marks
     # instead of re-walking the chain per block.
-    return jnp.sort(splits), n_splits, tok_marks
+    return jnp.sort(splits), n_splits, tok_marks, ovf
 
 
 def _bucket(n: int) -> int:
@@ -335,9 +369,9 @@ def _bucket(n: int) -> int:
     return size
 
 
-@functools.partial(jax.jit, static_argnames=("n", "in_cap"))
+@functools.partial(jax.jit, static_argnames=("n", "in_cap", "trig_cap"))
 def _split_kernel_batch(win_p, rl, ro, prev, n_real, n: int,
-                        in_cap: int | None = None):
+                        in_cap: int | None = None, trig_cap: int = 0):
     """vmap of ``_split_kernel`` over a batch of window lanes — one
     program splits every window of a batch (the level loops' latency
     amortizes across lanes). ``prev`` is shared (the stacked lane layout
@@ -348,10 +382,12 @@ def _split_kernel_batch(win_p, rl, ro, prev, n_real, n: int,
     tok = _batch_chain_marks(rl, prev, n_real, n)
     if tok is None:
         return jax.vmap(
-            lambda w, l, o, nr: _split_kernel(w, l, o, prev, nr, n, in_cap)
+            lambda w, l, o, nr: _split_kernel(w, l, o, prev, nr, n, in_cap,
+                                              trig_cap=trig_cap)
         )(win_p, rl, ro, n_real)
     return jax.vmap(
-        lambda w, l, o, nr, tk: _split_kernel(w, l, o, prev, nr, n, in_cap, tk)
+        lambda w, l, o, nr, tk: _split_kernel(w, l, o, prev, nr, n, in_cap, tk,
+                                              trig_cap=trig_cap)
     )(win_p, rl, ro, n_real, tok)
 
 
@@ -383,7 +419,7 @@ def _split_kernel_sharded(mesh, n: int, in_cap: int | None = None):
         lambda w, l, o, p, nr: _split_kernel_batch(w, l, o, p[0], nr, n, in_cap),
         mesh=mesh,
         in_specs=(spec, spec, spec, P(None), spec),
-        out_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec, spec),
         check_vma=False,
     )
     return jax.jit(step)
@@ -415,11 +451,20 @@ def block_split_jax(window, match_table, prev: int, in_size: int):
     tok = _batch_chain_marks(
         rl_j[None, :], jnp.int32(prev), jnp.asarray([n], jnp.int32), n_pad
     )
-    splits, n_splits, _ = _split_kernel(
+    in_cap = _input_cap(in_size)
+    splits, n_splits, _, ovf = _split_kernel(
         jnp.asarray(win_p), rl_j, ro_j,
-        jnp.int32(prev), jnp.int32(n), n_pad, _input_cap(in_size),
-        None if tok is None else tok[0],
+        jnp.int32(prev), jnp.int32(n), n_pad, in_cap,
+        None if tok is None else tok[0], trig_cap=_trig_cap(in_cap),
     )
+    if bool(ovf):
+        # Exact retry: more triggers than the compact budget (degenerate
+        # drift patterns) — rerun this window with every slot evaluated.
+        splits, n_splits, _, _ = _split_kernel(
+            jnp.asarray(win_p), rl_j, ro_j,
+            jnp.int32(prev), jnp.int32(n), n_pad, in_cap,
+            None if tok is None else tok[0], trig_cap=0,
+        )
     out = [int(x) for x in np.asarray(splits[: int(n_splits)])]
     out.append(n)
     return out
