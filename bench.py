@@ -76,20 +76,27 @@ MIXED_CACHE = Path("/tmp/zultra_bench_mixed.bin")
 
 
 def build_mixed_corpus(target_bytes: int) -> bytes:
-    """Deliberately less-compressible mixed corpus (VERDICT r3 item 7):
-    text blocks interleaved with native binary (.so) blocks, targeting the
-    ~35% ratio regime of the reference's published corpora
-    (/root/reference/README.md:10-46) instead of the ~21% of pure text."""
+    """Binary-dominant corpus targeting the reference's published ~35%
+    ratio regime (/root/reference/README.md:10-46; mozilla — a tarball
+    of executables — lands at 35.69%, pariah.utx at 32.38%). Native .so
+    images from this container compress to ~35% under this encoder;
+    15/16 binary + 1/16 source text interleave lands mid-regime, unlike
+    round 3's half-text mix (26.2%). Deterministic (sorted paths)."""
     if MIXED_CACHE.exists() and MIXED_CACHE.stat().st_size == target_bytes:
         return MIXED_CACHE.read_bytes()
     text = build_corpus(target_bytes)
     bins = []
     total = 0
-    for root in (Path("/opt/venv/lib/python3.12/site-packages"),
-                 Path("/usr/lib/x86_64-linux-gnu")):
+    # System libraries and executables sit at ~38-40% under zlib -9
+    # (~35-37% under this encoder) — the mozilla-like pool; python
+    # extension modules backfill if the corpus outgrows them.
+    for root, pat in ((Path("/usr/lib/x86_64-linux-gnu"), "*.so*"),
+                      (Path("/usr/bin"), "*"),
+                      (Path("/usr/lib"), "*.so*"),
+                      (Path("/opt/venv/lib/python3.12/site-packages"), "*.so*")):
         if not root.exists():
             continue
-        for p in sorted(root.rglob("*.so*"))[:400]:
+        for p in sorted(root.rglob(pat))[:3000]:
             try:
                 b = p.read_bytes()
             except OSError:
@@ -100,13 +107,16 @@ def build_mixed_corpus(target_bytes: int) -> bytes:
                 break
         if total >= target_bytes:
             break
-    binary = (b"".join(bins) * 2)[:target_bytes]
-    # Interleave 256 KiB text with 256 KiB binary.
+    binary = (b"".join(bins) * 4)[: target_bytes]
+    # Interleave 15 × 256 KiB binary with 1 × 256 KiB text.
     step = 256 << 10
     parts = []
-    for off in range(0, target_bytes, 2 * step):
-        parts.append(text[off : off + step])
-        parts.append(binary[off + step : off + 2 * step])
+    t_off = b_off = 0
+    while b_off + t_off < target_bytes:
+        parts.append(binary[b_off : b_off + 15 * step])
+        b_off += 15 * step
+        parts.append(text[t_off : t_off + step])
+        t_off += step
     blob = b"".join(parts)[:target_bytes]
     MIXED_CACHE.write_bytes(blob)
     return blob

@@ -101,3 +101,18 @@ def test_dp_pallas_multi_lane_group():
         h_len, h_off = run_dp_pallas(*half, n_pad, interpret=True)
         assert np.array_equal(np.asarray(h_len), np.asarray(got_len)[lo:hi])
         assert np.array_equal(np.asarray(h_off), np.asarray(got_off)[lo:hi])
+
+
+def test_dp_pallas_cap_pins_impl_at_reference_max_block(monkeypatch):
+    """The reference's maximum block size (2 MiB, src/libzultra.c:87-92)
+    exceeds the Pallas DP's HBM budget (DP_PALLAS_MAX_N): such blocks
+    must fall back to the bit-identical scan DP, and blocks at or under
+    the cap must keep the kernel (pinned so the cap cannot silently
+    move)."""
+    from zultra_tpu.ops import block_jax
+
+    monkeypatch.setenv("ZULTRA_DP_IMPL", "pallas")
+    assert block_jax.dp_impl_for(1 << 20) == "pallas"
+    assert block_jax.dp_impl_for(2 << 20) == "scan"
+    monkeypatch.setenv("ZULTRA_DP_IMPL", "scan")
+    assert block_jax.dp_impl_for(4096) == "scan"

@@ -187,11 +187,41 @@ def _token_hist(window, lens, offs, length, n: int, is_tok=None):
     return lit_hist, off_hist, is_tok
 
 
+# Largest block the Pallas DP engages on. Its packed per-slot inputs are
+# (n_pad, 8, 128-padded-lanes) int32 — 4 KB of HBM per position per
+# array — so the reference's 2 MiB maximum block (src/libzultra.c:87-92)
+# would materialize ~16 GB and cannot use the kernel on a 16 GB chip;
+# such blocks fall back to the XLA scan DP (bit-identical, ~40x slower —
+# logged once, and pinned by tests/test_dp_pallas.py).
+DP_PALLAS_MAX_N = 1 << 20
+_dp_cap_logged = False
+
+
+def dp_impl_for(n_pad: int) -> str:
+    """Which DP implementation a block of padded size ``n_pad`` runs."""
+    global _dp_cap_logged
+    if _dp_impl() == "pallas":
+        if n_pad <= DP_PALLAS_MAX_N:
+            return "pallas"
+        if not _dp_cap_logged:
+            _dp_cap_logged = True
+            import logging
+
+            logging.getLogger(__name__).info(
+                "block of %d positions exceeds DP_PALLAS_MAX_N=%d; "
+                "using the XLA scan DP (bit-identical, slower)",
+                n_pad, DP_PALLAS_MAX_N,
+            )
+        return "scan"
+    return _dp_impl()
+
+
 def _run_dp(lit_lens, off_lens, window, mlens, moffs, length, n_pad: int):
     """One batched DP pass. On TPU this is the Pallas VMEM-ring kernel
-    (ops/dp_pallas); elsewhere (or with ZULTRA_DP_IMPL=scan) the XLA
-    backward scan + order-exact selection. Bit-identical either way."""
-    if _dp_impl() == "pallas" and n_pad <= (1 << 20):
+    (ops/dp_pallas); elsewhere (or with ZULTRA_DP_IMPL=scan), and for
+    blocks above DP_PALLAS_MAX_N, the XLA backward scan + order-exact
+    selection. Bit-identical either way."""
+    if dp_impl_for(n_pad) == "pallas":
         from .dp_pallas import run_dp_pallas
 
         return run_dp_pallas(
