@@ -126,3 +126,26 @@ def test_guarded_compress_real_buffer_and_injected_overrun():
     del region
     assert arena[GUARD + region_size :] != bytes([GUARD_BYTE]) * GUARD
     assert arena[:GUARD] == bytes([GUARD_BYTE]) * GUARD
+
+
+def test_cli_jaxdev_one_shot_matches_native_stream(tmp_path):
+    """With the jaxdev engine, the CLI routes whole files through the
+    engine's one-shot compress_corpus (batched device begin-phase) —
+    byte-identical to the native engine's chunked stream path (VERDICT
+    r4 item 3)."""
+    src = REPO / "SURVEY.md"
+    out_n = tmp_path / "n.gz"
+    out_j = tmp_path / "j.gz"
+    r1 = run_cli(["-gzip", str(src), str(out_n)])
+    assert r1.returncode == 0, r1.stderr
+    env_extra = {"ZULTRA_ENGINE": "jaxdev", "JAX_PLATFORMS": "cpu",
+                 "JAX_COMPILATION_CACHE_DIR": "/tmp/zultra_jax_cache"}
+    import subprocess, sys as _sys
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin", "HOME": "/root",
+           **env_extra}
+    r2 = subprocess.run(
+        [_sys.executable, "-m", "zultra_tpu.cli", "-gzip", str(src), str(out_j)],
+        capture_output=True, text=True, cwd="/tmp", env=env,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert out_n.read_bytes() == out_j.read_bytes()
