@@ -258,8 +258,8 @@ def main() -> int:
     dist_metrics = {}
     if os.environ.get("BENCH_DIST", "1") != "0":
         try:
-            dist_bytes = int(os.environ.get("BENCH_DIST_BYTES", 512 << 20))
-            for nproc in (2, 4):
+            dist_bytes = int(os.environ.get("BENCH_DIST_BYTES", 256 << 20))
+            for nproc in (1, 2, 4):
                 out = subprocess.run(
                     [sys.executable, str(Path(__file__).parent / "scripts" /
                                           "bench_distributed.py"),
@@ -271,14 +271,14 @@ def main() -> int:
                 dist_metrics[f"dist_{nproc}p_MBps"] = d["MBps"]
                 dist_metrics[f"dist_{nproc}p_wall_s"] = d["wall_s"]
             dist_metrics["dist_bytes"] = dist_bytes
-            # 2 physical cores: 2-proc efficiency vs the 1-worker windows
-            # rate; 4-proc is recorded for the decomposition (oversubscribed
-            # on this host, scaling axis is hosts on a pod).
-            if scaling.get("windows_mode_1w_MBps"):
-                dist_metrics["dist_2p_efficiency"] = round(
-                    dist_metrics["dist_2p_MBps"]
-                    / (2 * scaling["windows_mode_1w_MBps"]), 3
-                )
+            # 2 physical cores: 2-proc efficiency vs the MATCHED 1-process
+            # jax.distributed baseline (VERDICT r4 item 4); 4-proc is
+            # recorded for the decomposition only (oversubscribed here —
+            # the scaling axis is hosts on a pod).
+            dist_metrics["dist_2p_efficiency"] = round(
+                dist_metrics["dist_2p_MBps"]
+                / (2 * dist_metrics["dist_1p_MBps"]), 3
+            )
         except Exception as exc:  # pragma: no cover
             dist_metrics = {"dist_error": str(exc)[:160]}
 

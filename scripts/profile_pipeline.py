@@ -46,8 +46,10 @@ rl = jnp.concatenate([lens_st[:,:,0].astype(jnp.int32), ztail], axis=1)
 ro = jnp.concatenate([offs_st[:,:,0].astype(jnp.int32), ztail], axis=1)
 n_reals = jnp.asarray([HALO+(hi-lo) for lo,hi in spans], dtype=jnp.int32)
 
+from zultra_tpu.ops.split_jax import _trig_cap
+
 def split_fn():
-    s, ns, tok = _split_kernel_batch(win_p, rl, ro, jnp.int32(HALO), n_reals, n_pad_w, _input_cap(mbs))
+    s, ns, tok, ovf = _split_kernel_batch(win_p, rl, ro, jnp.int32(HALO), n_reals, n_pad_w, _input_cap(mbs), trig_cap=_trig_cap(_input_cap(mbs)))
     return np.asarray(s), np.asarray(ns), tok
 
 splits_arr, n_splits, tok_marks = phase("splitter (16 lanes)", split_fn)

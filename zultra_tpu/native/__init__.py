@@ -69,6 +69,12 @@ def get_lib():
         lib.zn_window_serialize.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
         lib.zn_window_deserialize.restype = ctypes.c_void_p
         lib.zn_window_deserialize.argtypes = [u8p, ctypes.c_int64]
+        lib.zn_window_serialized_size_v2.restype = ctypes.c_int64
+        lib.zn_window_serialized_size_v2.argtypes = [ctypes.c_void_p]
+        lib.zn_window_serialize_v2.restype = ctypes.c_int64
+        lib.zn_window_serialize_v2.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
+        lib.zn_window_deserialize_v2.restype = ctypes.c_void_p
+        lib.zn_window_deserialize_v2.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
         _lib = lib
     return _lib
 
@@ -90,6 +96,32 @@ def deserialize_window(blob: bytes) -> int:
     lib = get_lib()
     arr = np.frombuffer(blob, dtype=np.uint8)
     handle = lib.zn_window_deserialize(np.ascontiguousarray(arr), len(blob))
+    if not handle:
+        raise RuntimeError("window deserialization failed (bad blob)")
+    return handle
+
+
+def serialize_window_compact(handle: int) -> bytes:
+    """v2 wire format: walk-order tokens + block plans only — the window
+    bytes are reattached at deserialization from the corpus the stitcher
+    already holds (~1.5 B per corpus byte on text vs v1's ~5 B; the
+    pod-scale plan-allgather payload)."""
+    lib = get_lib()
+    size = lib.zn_window_serialized_size_v2(ctypes.c_void_p(handle))
+    buf = np.empty(size, dtype=np.uint8)
+    n = lib.zn_window_serialize_v2(ctypes.c_void_p(handle), buf, size)
+    if n < 0:
+        raise RuntimeError("window serialization failed")
+    return buf.tobytes()
+
+
+def deserialize_window_compact(blob: bytes, window: np.ndarray) -> int:
+    lib = get_lib()
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    win = np.ascontiguousarray(np.asarray(window, dtype=np.uint8))
+    handle = lib.zn_window_deserialize_v2(
+        np.ascontiguousarray(arr), len(blob), win, len(win)
+    )
     if not handle:
         raise RuntimeError("window deserialization failed (bad blob)")
     return handle

@@ -1282,4 +1282,115 @@ void* zn_window_deserialize(const uint8_t* blob, int64_t size) {
     return wj;
 }
 
+// -- v2 wire format: window bytes omitted (the stitcher reattaches them
+// from the corpus it already holds) and the best-token array stored as
+// walk-order (len, off) pairs only — ~1.5 B per corpus byte on text vs
+// v1's 5 B. Token count is derived from the walk itself.
+static const uint32_t kPlanMagic2 = 0x5A504C33;  // "ZPL3"
+
+static int64_t count_walk_tokens(const zn::WindowJob* wj) {
+    const int64_t n = (int64_t)wj->prev + wj->in_size;
+    int64_t i = wj->prev, count = 0;
+    while (i < n) {
+        const int32_t len = wj->best[i * 2];
+        i += len >= zn::kMinMatch ? len : 1;
+        ++count;
+    }
+    return count;
+}
+
+int64_t zn_window_serialized_size_v2(void* job) {
+    zn::WindowJob* wj = (zn::WindowJob*)job;
+    int64_t sz = (int64_t)(4 + 12) + count_walk_tokens(wj) * 4;
+    for (const zn::BlockPlan& plan : wj->plans) sz += plan_wire_size(plan);
+    return sz;
+}
+
+int64_t zn_window_serialize_v2(void* job, uint8_t* out, int64_t cap) {
+    zn::WindowJob* wj = (zn::WindowJob*)job;
+    const int64_t need = zn_window_serialized_size_v2(job);
+    if (cap < need) return -1;
+    uint8_t* p = out;
+    wr_u32(p, kPlanMagic2);
+    wr_u32(p, (uint32_t)wj->prev);
+    wr_u32(p, (uint32_t)wj->in_size);
+    wr_u32(p, (uint32_t)wj->plans.size());
+    const int64_t n = (int64_t)wj->prev + wj->in_size;
+    for (int64_t i = wj->prev; i < n;) {
+        const uint16_t len = wj->best[i * 2];
+        wr_u16(p, len);
+        wr_u16(p, wj->best[i * 2 + 1]);
+        i += len >= zn::kMinMatch ? len : 1;
+    }
+    for (const zn::BlockPlan& plan : wj->plans) {
+        wr_u32(p, (uint32_t)plan.start);
+        wr_u32(p, (uint32_t)plan.size);
+        *p++ = plan.is_dynamic ? 1 : 0;
+        write_encoder(p, plan.lit);
+        write_encoder(p, plan.off);
+        if (plan.is_dynamic) {
+            wr_u32(p, (uint32_t)plan.best_mask);
+            wr_u32(p, (uint32_t)plan.n_lit);
+            wr_u32(p, (uint32_t)plan.n_off);
+            write_encoder(p, plan.te);
+            for (int32_t i = 0; i < plan.n_lit + plan.n_off; ++i)
+                *p++ = (uint8_t)plan.lens[i];
+        }
+    }
+    return p - out;
+}
+
+void* zn_window_deserialize_v2(const uint8_t* blob, int64_t size,
+                               const uint8_t* window, int64_t window_n) {
+    const uint8_t* p = blob;
+    const uint8_t* end = blob + size;
+    if (size < 16 || rd_u32(p) != kPlanMagic2) return nullptr;
+    const int32_t prev = (int32_t)rd_u32(p);
+    const int32_t in_size = (int32_t)rd_u32(p);
+    const int32_t n_plans = (int32_t)rd_u32(p);
+    const int64_t n = (int64_t)prev + in_size;
+    if (prev < 0 || in_size < 0 || n_plans < 0 || n <= 0 || window_n != n)
+        return nullptr;
+    zn::WindowJob* wj = zn::acquire_job();
+    wj->prev = prev;
+    wj->in_size = in_size;
+    wj->window.assign(window, window + n);
+    wj->best.assign(n * 2, 0);
+    for (int64_t i = prev; i < n;) {
+        if (end - p < 4) { zn::release_job(wj); return nullptr; }
+        const uint16_t len = (uint16_t)rd_u16(p);
+        const uint16_t off = (uint16_t)rd_u16(p);
+        wj->best[i * 2] = len;
+        wj->best[i * 2 + 1] = off;
+        i += len >= zn::kMinMatch ? len : 1;
+    }
+    wj->plans.resize(n_plans);
+    for (zn::BlockPlan& plan : wj->plans) {
+        if (end - p < 9) { zn::release_job(wj); return nullptr; }
+        plan.start = (int32_t)rd_u32(p);
+        plan.size = (int32_t)rd_u32(p);
+        plan.is_dynamic = *p++ != 0;
+        if (!read_encoder(p, end, plan.lit) || !read_encoder(p, end, plan.off)) {
+            zn::release_job(wj); return nullptr;
+        }
+        if (plan.is_dynamic) {
+            if (end - p < 12) { zn::release_job(wj); return nullptr; }
+            plan.best_mask = (int32_t)rd_u32(p);
+            plan.n_lit = (int32_t)rd_u32(p);
+            plan.n_off = (int32_t)rd_u32(p);
+            const int64_t n_lens = (int64_t)plan.n_lit + plan.n_off;
+            if (plan.n_lit < 0 || plan.n_off < 0 ||
+                n_lens > (int64_t)(sizeof(plan.lens) / sizeof(plan.lens[0])) ||
+                !read_encoder(p, end, plan.te) || end - p < n_lens) {
+                zn::release_job(wj); return nullptr;
+            }
+            for (int64_t i = 0; i < n_lens; ++i) plan.lens[i] = *p++;
+        } else {
+            plan.best_mask = -1;
+            plan.n_lit = plan.n_off = 0;
+        }
+    }
+    return wj;
+}
+
 } // extern "C"

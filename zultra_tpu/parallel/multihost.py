@@ -207,7 +207,7 @@ def plan_window_span(data, window_spans_slice, n_threads: int = 1):
         if not handle:
             raise RuntimeError("native window planning failed")
         try:
-            blobs.append(native.serialize_window(handle))
+            blobs.append(native.serialize_window_compact(handle))
         finally:
             lib.zn_window_free(ctypes.c_void_p(handle))
     return blobs
@@ -239,10 +239,29 @@ def stitch_window_plans(blobs, flags, data, max_block_size: int,
             checksum, np.frombuffer(data, dtype=np.uint8), flags
         )
 
+    # Window byte spans (compact blobs carry no window bytes): the same
+    # decomposition every planner used, over dict + data corpus coords.
+    from ..constants import HISTORY_SIZE
+
+    dict_b = dictionary if dictionary else b""
+    base = len(dict_b)
+    spans = [(base + lo, base + hi)
+             for lo, hi in window_spans(data_len, max_block_size)]
+    corpus = None  # assembled lazily; fork/dist paths pass full data
+
     buf = bytearray(memory_bound(max_block_size, flags, max_block_size))
     bits_data, bits_count = 0, 0
     for i, blob in enumerate(blobs):
-        handle = native.deserialize_window(blob)
+        if len(blob) >= 4 and blob[:4] == (0x5A504C33).to_bytes(4, "little"):
+            if corpus is None:
+                corpus = dict_b + (data.tobytes() if hasattr(data, "tobytes")
+                                   else bytes(data))
+            lo, hi = spans[i]
+            prev = min(HISTORY_SIZE, lo)
+            window = np.frombuffer(corpus, np.uint8, hi - (lo - prev), lo - prev)
+            handle = native.deserialize_window_compact(blob, window)
+        else:
+            handle = native.deserialize_window(blob)
         n, bits_data, bits_count = native.window_emit(
             handle, i + 1 == len(blobs), buf, bits_data, bits_count
         )
@@ -339,6 +358,12 @@ def compress_windows_jax_distributed(
 
     from ..stream import clamp_block_size
 
+    import os
+    import time
+
+    prof = os.environ.get("ZULTRA_DIST_PROFILE") == "1"
+    marks = [("start", time.perf_counter())]
+
     idx, count = jax.process_index(), jax.process_count()
     max_block_size = clamp_block_size(max_block_size)
     dict_b = bytes(dictionary) if dictionary else b""
@@ -349,10 +374,12 @@ def compress_windows_jax_distributed(
     per = -(-len(spans) // count)
     mine = spans[idx * per : (idx + 1) * per]
     blobs = plan_window_span(corpus, mine)
+    marks.append(("plan", time.perf_counter()))
     part = (
         span_checksum_partial(corpus, mine[0][0], mine[-1][1], flags)
         if mine else (0, 0)
     )
+    marks.append(("checksum", time.perf_counter()))
 
     # Frame this process's blobs with u32 length prefixes — headed by the
     # 12-byte checksum partial (value u32, length u64) — pad to the
@@ -366,7 +393,20 @@ def compress_windows_jax_distributed(
     sizes = multihost_utils.process_allgather(np.int64(len(local)))
     padded = np.zeros(int(sizes.max()), np.uint8)
     padded[: len(local)] = np.frombuffer(bytes(local), np.uint8)
+    marks.append(("serialize", time.perf_counter()))
     gathered = np.asarray(multihost_utils.process_allgather(padded))
+    marks.append(("allgather", time.perf_counter()))
+
+    if prof:
+        import sys as _sys
+
+        stages = {
+            marks[i][0]: marks[i][1] - marks[i - 1][1]
+            for i in range(1, len(marks))
+        }
+        print(f"[dist p{idx}] " + " ".join(
+            f"{k}={v:.2f}s" for k, v in stages.items()
+        ), file=_sys.stderr, flush=True)
 
     if idx != 0:
         return None
@@ -382,9 +422,17 @@ def compress_windows_jax_distributed(
             all_blobs.append(row[o + 4 : o + 4 + ln])
             o += 4 + ln
     assert len(all_blobs) == len(spans)
-    return stitch_window_plans(all_blobs, flags, data, max_block_size,
-                               checksum_parts=parts, data_len=len(data),
-                               dictionary=dict_b if dict_b else None)
+    t_dec = time.perf_counter()
+    out = stitch_window_plans(all_blobs, flags, data, max_block_size,
+                              checksum_parts=parts, data_len=len(data),
+                              dictionary=dict_b if dict_b else None)
+    if prof:
+        import sys as _sys
+
+        print(f"[dist p0] stitch={time.perf_counter() - t_dec:.2f}s "
+              f"blob_bytes={sum(len(b) for b in all_blobs)}",
+              file=_sys.stderr, flush=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
