@@ -329,6 +329,35 @@ def main() -> int:
                     100.0 * FALLBACK_STATS["overflowed"] / segs, 2
                 ),
             }
+
+            # Streamed jaxdev (VERDICT r4 item 3): the SAME slice pushed
+            # through Stream in 16 KB chunks — the queued batched
+            # begin-phase must hold the one-shot rate (bar: within 1.2x).
+            engine_mod.set_engine("jaxdev")
+            try:
+                from zultra_tpu.stream import CONTINUE, FINALIZE, Stream
+
+                def stream_once():
+                    st = Stream(zt.FLAG_GZIP_FRAMING, jbs)
+                    parts = []
+                    for off in range(0, len(jslice), 16384):
+                        chunk = jslice[off : off + 16384]
+                        last = off + 16384 >= len(jslice)
+                        parts.append(
+                            st.compress(chunk, FINALIZE if last else CONTINUE)
+                        )
+                    return b"".join(parts)
+
+                sblob = stream_once()  # warm the queued-path shapes
+                t0 = time.perf_counter()
+                sblob = stream_once()
+                s_elapsed = time.perf_counter() - t0
+            finally:
+                engine_mod._active_engine = prev_engine
+            jax_metrics["jaxdev_stream_MBps"] = round(
+                len(jslice) / 1e6 / s_elapsed, 3
+            )
+            jax_metrics["jaxdev_stream_parity"] = 0 if sblob == expect else 1
         except Exception as exc:  # pragma: no cover - report, don't fail
             jax_metrics = {"jax_engine_error": str(exc)[:120]}
 

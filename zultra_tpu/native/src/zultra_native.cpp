@@ -45,6 +45,36 @@ struct StageTimer {
         last = now;
     }
 };
+// ZN_PROFILE=2 adds a plan_block sub-stage breakdown (summed across the
+// planner threads, so totals can exceed wall clock).
+struct SubStages {
+    std::atomic<int64_t> dp_ns{0}, recount_ns{0}, tables_ns{0}, greedy_ns{0};
+    void dump_and_reset() {
+        const char* env = std::getenv("ZN_PROFILE");
+        if (env && env[0] == '2') {
+            std::fprintf(stderr,
+                         "[zn]   plan sub: dp %.1f ms, recount %.1f ms, "
+                         "tables %.1f ms, greedy %.1f ms (thread-summed)\n",
+                         dp_ns.load() / 1e6, recount_ns.load() / 1e6,
+                         tables_ns.load() / 1e6, greedy_ns.load() / 1e6);
+        }
+        dp_ns = recount_ns = tables_ns = greedy_ns = 0;
+    }
+};
+inline SubStages& substages() {
+    static SubStages s;
+    return s;
+}
+struct SubTimer {
+    std::atomic<int64_t>& acc;
+    std::chrono::steady_clock::time_point t0;
+    explicit SubTimer(std::atomic<int64_t>& a)
+        : acc(a), t0(std::chrono::steady_clock::now()) {}
+    ~SubTimer() {
+        acc += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                   std::chrono::steady_clock::now() - t0).count();
+    }
+};
 } // namespace zn
 
 namespace zn {
@@ -151,7 +181,9 @@ struct MatchFinder {
 
         sa_scratch.resize(n);
         std::vector<int32_t>& sa = sa_scratch;
+        StageTimer t2;
         suffix_array(data, n, sa.data(), &sais_s_scratch, &sais_sa_scratch);
+        t2.mark("  sais");
 
         // Permuted LCP via the Φ method (amortized O(n)).
         plcp_scratch.resize(n);
@@ -189,6 +221,7 @@ struct MatchFinder {
             }
         }
 
+        t2.mark("  plcp");
         // Pack SA+LCP (lcp < MIN → 0, clamp to MAX).
         intervals[0] = (uint32_t)sa[0];
         for (int32_t r = 1; r < n; ++r) {
@@ -198,6 +231,7 @@ struct MatchFinder {
             intervals[r] = (uint32_t)sa[r] | ((uint32_t)lcp << kLcpShift);
         }
 
+        t2.mark("  pack");
         // Interval tree from the SA+LCP sweep.
         std::vector<uint32_t> stack(513);
         uint32_t* top = stack.data();
@@ -238,6 +272,7 @@ struct MatchFinder {
         pos_data[prev_pos] = *top;
         for (; top > stack.data(); --top)
             intervals[*top & kPosMask] = *(top - 1);
+        t2.mark("  tree");
     }
 
     // Lazy interval-ascent walk; returns number of matches written to out
@@ -731,6 +766,7 @@ static void plan_block(const uint8_t* window, const uint16_t* table,
 
     // Static vs dynamic choice from the greedy parse.
     {
+        zn::SubTimer t_(zn::substages().greedy_ns);
         HuffEncoder glit, goff;
         prepare_cost_evaluation(glit, goff, tok, start, size);
         const int64_t static_cost = evaluate_static_cost(glit, goff);
@@ -780,8 +816,12 @@ static void plan_block(const uint8_t* window, const uint16_t* table,
         have_prev = true;
 
         if (!converged) {
-            optimize_matches(lit, off, window, table, start, end, best, cost_scratch);
-
+            {
+                zn::SubTimer t_(zn::substages().dp_ns);
+                optimize_matches(lit, off, window, table, start, end, best,
+                                 cost_scratch);
+            }
+            zn::SubTimer t_(zn::substages().recount_ns);
             std::memset(lit.entropy, 0, sizeof(lit.entropy));
             std::memset(off.entropy, 0, sizeof(off.entropy));
             token_entropy(lit, off, window, best, 1, start, end);
@@ -804,6 +844,7 @@ static void plan_block(const uint8_t* window, const uint16_t* table,
 
     post_optimize(lit, off, window, best, start, end);
 
+    zn::SubTimer t_tables(zn::substages().tables_ns);
     // A/B test the Zopfli RLE histogram rewrite.
     {
         HuffEncoder opt_lit = lit, opt_off = off;
@@ -983,6 +1024,7 @@ static WindowJob* window_begin(const uint8_t* window_data, int32_t prev, int32_t
         for (auto& th : threads) th.join();
     }
     timer.mark("block plan");
+    zn::substages().dump_and_reset();
     return job;
 }
 
