@@ -125,9 +125,10 @@ def _token_structure(window, row_len, row_off, prev, n_real, n: int,
 def _trig_cap(in_cap: int) -> int:
     """Default triggered-candidate budget: measured trigger density is
     ~60/level on text and ~260/level on mixed data per 1 MB window
-    (scripts in round 5), so in_cap/1024 with a 64 floor covers real
-    corpora with wide margin; the exact overflow retry handles the rest."""
-    return max(64, in_cap >> 10)
+    (scripts in round 5) — ~8-33/level at jaxdev's 128 KiB windows — so
+    in_cap/2048 with a 64 floor covers real corpora with margin; the
+    exact overflow retry handles the rest."""
+    return max(64, in_cap >> 11)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "in_cap", "trig_cap"))
