@@ -492,6 +492,26 @@ def _bucket(n: int) -> int:
     return size
 
 
+# Coalesce small size-buckets into one lane batch. With the Pallas DP a
+# bucket's cost is ~independent of its lane count (the serial scan is
+# shared; ≤128 lanes is one lane-group) but buckets run SEQUENTIALLY —
+# so padding small blocks up to one shared n_pad is much cheaper than
+# paying another bucket's 4 DP passes. Capped so a huge-block bucket
+# (reference max 2 MiB) does not drag every tiny block's lane to 2 MiB
+# of padded histogram/emit work.
+_MERGE_CAP = 1 << 18
+
+
+def _merge_small_buckets(buckets: dict[int, list[int]]) -> None:
+    small = [k for k in buckets if k <= _MERGE_CAP]
+    if len(small) > 1:
+        tgt = max(small)
+        merged: list[int] = []
+        for k in sorted(small):
+            merged.extend(buckets.pop(k))
+        buckets[tgt] = sorted(merged)
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad",))
 def _slice_blocks(win_ext, lens_ext, offs_ext, starts, n_pad: int):
     """Cut B block lanes out of device-resident window/table arrays
@@ -543,6 +563,7 @@ def plan_blocks_device(win_dev, lens_dev, offs_dev, block_spans):
     buckets: dict[int, list[int]] = {}
     for i, (s, e) in enumerate(block_spans):
         buckets.setdefault(_bucket(e - s), []).append(i)
+    _merge_small_buckets(buckets)
 
     plans: list[dict | None] = [None] * len(block_spans)
     for n_pad, idxs in sorted(buckets.items()):
@@ -639,6 +660,7 @@ def plan_blocks_device_multi(win_stack, lens_stack, offs_stack, lanes,
     buckets: dict[int, list[int]] = {}
     for i, (_, _, ln) in enumerate(lanes):
         buckets.setdefault(_bucket(ln), []).append(i)
+    _merge_small_buckets(buckets)
     n_pad_max = max(buckets)
     W = win_stack.shape[0]
     win_ext = jnp.concatenate(
