@@ -495,11 +495,12 @@ def _bucket(n: int) -> int:
 # Coalesce small size-buckets into one lane batch. With the Pallas DP a
 # bucket's cost is ~independent of its lane count (the serial scan is
 # shared; ≤128 lanes is one lane-group) but buckets run SEQUENTIALLY —
-# so padding small blocks up to one shared n_pad is much cheaper than
-# paying another bucket's 4 DP passes. Capped so a huge-block bucket
-# (reference max 2 MiB) does not drag every tiny block's lane to 2 MiB
-# of padded histogram/emit work.
-_MERGE_CAP = 1 << 18
+# so padding small blocks up to one shared n_pad is cheaper than paying
+# another bucket's 4 DP passes. Capped low: merging small blocks INTO a
+# 128 KiB bucket measured SLOWER (the histogram/emit stages scale with
+# B×n_pad and outgrew the saved passes — 1.07 s → 1.26 s on the 2 MiB
+# slice), while merging the ≤32 KiB stragglers is pure win.
+_MERGE_CAP = 1 << 15
 
 
 def _merge_small_buckets(buckets: dict[int, list[int]]) -> None:
