@@ -99,14 +99,31 @@ def _mf_impl() -> str:
     return choice
 
 
-def _seg_geometry(mesh=None):
+def _seg_geometry(mesh=None, mbs: int | None = None):
     """(seg_core, L) for the active matchfinder impl. The walk kernel
     engages only on the local path: under a mesh the staircase's vmapped
-    shard_map remains the sharded form."""
-    if mesh is None and _mf_impl() == "walk":
-        from .walk_pallas import PROD_N
+    shard_map remains the sharded form.
 
-        return PROD_N - HALO - TAIL, PROD_N
+    For the walk, ``mbs`` (the window size) balances the segment cores:
+    the walk's cost is ~L positions per segment regardless of how much
+    of the core is real bytes, so k = ceil(mbs / max_core) equal cores
+    beat one full segment plus a mostly-sentinel remainder (a 128 KiB
+    window drops from 2×116736 to 2×99328 walked positions)."""
+    if mesh is None and _mf_impl() == "walk":
+        from .walk_pallas import CHUNK, PROD_N
+
+        max_core = PROD_N - HALO - TAIL
+        if mbs is None or mbs >= max_core * 64:
+            return max_core, PROD_N
+        # Quantize to a pow2 window bucket so arbitrary file sizes reuse
+        # a handful of compiled kernel shapes.
+        b = 32768
+        while b < mbs:
+            b *= 2
+        k = -(-b // max_core)
+        core = -(-b // k)
+        L = -(-(core + HALO + TAIL) // CHUNK) * CHUNK
+        return L - HALO - TAIL, L
     return SEG_CORE, HALO + SEG_CORE + TAIL
 
 
@@ -422,7 +439,8 @@ def match_tables_for_spans(
 
     use_walk = False
     if seg_core is None:
-        seg_core, _ = _seg_geometry(mesh)
+        max_win = max((hi - lo) for lo, hi in spans) if spans else None
+        seg_core, _ = _seg_geometry(mesh, max_win)
         use_walk = mesh is None and _mf_impl() == "walk"
 
     data = np.asarray(data, dtype=np.uint8)
@@ -542,7 +560,7 @@ def match_table_device(
     [0, start) are zero (history positions report no matches)."""
     window = np.asarray(window, dtype=np.uint8)
     budget = budget_factor if budget_factor is not None else BUDGET_LADDER[0]
-    seg_core, _ = _seg_geometry()
+    seg_core, _ = _seg_geometry(mbs=end - start)
     use_walk = _mf_impl() == "walk"
     segbufs, metas = build_segments(window[:end], [(start, end)], seg_core)
     S, L = segbufs.shape
@@ -629,7 +647,7 @@ def match_tables_device_stacked(corpus: np.ndarray, spans, mbs: int,
     serial scan latency across the whole window batch."""
     corpus = np.asarray(corpus, dtype=np.uint8)
     budget = budget_factor if budget_factor is not None else BUDGET_LADDER[0]
-    seg_core, _ = _seg_geometry(mesh)
+    seg_core, _ = _seg_geometry(mesh, mbs)
     use_walk = mesh is None and _mf_impl() == "walk"
     W = len(spans)
     k = -(-mbs // seg_core)
