@@ -19,17 +19,21 @@ built on two exactness observations:
    left = token entropy over [range start, previous checkpoint], right
    = total - left (with the EOD bin forced to 1 on both sides).
 
-Hence one recursion *level* evaluates all its ranges' candidates in a
-flat batch: drift masks from 18-bucket prefix sums, left/right
-histograms from a stride-256 symbol-prefix table plus a ≤256-token
-partial, and every candidate's left/right/total MK cost in ONE batched
-``entropy_jax.dynamic_cost`` call (the MK scans are latency-bound, so
-2000 candidates cost the same as one). The best split per range is a
-segmented argmax (delta ≥ 0, earliest on ties — the reference's
-"first, or strictly better" rule), and six fori levels reproduce the
-depth<6 recursion. The ≤64-split cap never binds beyond the depth
-limit (a depth-6 tree has ≤63 internal nodes), so no DFS-order
-emulation is needed.
+Hence one recursion *level* evaluates its candidates in a flat batch:
+drift masks from 18-bucket prefix sums, left/right histograms from a
+stride-256 symbol-prefix table plus a ≤256-token partial, and the MK
+cost evaluation compacted (round 5) to the first ``trig_cap``
+drift-TRIGGERED candidates — the only ones the reference's walk
+evaluates — in ONE batched ``entropy_jax.dynamic_cost`` call, with an
+exact per-lane overflow retry when a level triggers more than the
+budget. Each range's boundary histograms and total cost are CARRIED
+across levels (a child's total is exactly the left/right evaluation at
+its parent's winning split). The best split per range is a segmented
+argmax (delta ≥ 0, earliest on ties — the reference's "first, or
+strictly better" rule), and six fori levels reproduce the depth<6
+recursion. The ≤64-split cap never binds beyond the depth limit (a
+depth-6 tree has ≤63 internal nodes), so no DFS-order emulation is
+needed.
 
 Exactness: bit-identical split points vs the host splitter on the fuzz
 corpus (tests/test_ops.py); the drift arithmetic stays in int32 — the
