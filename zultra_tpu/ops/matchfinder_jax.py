@@ -1,6 +1,12 @@
 """Device match finder: the nearest-occurrence LCP staircase computed with
 device-wide sorts and scans — no sequential interval walk.
 
+(Round 5: on TPU the default match path is now the SMEM-resident lazy
+walk kernel, ops/walk_pallas.py — 2.2x this staircase per core byte on
+the v5e, dispatched through this module's segment plumbing via
+``_mf_impl``/``_seg_geometry``. The staircase remains the CPU form and
+the mesh-sharded form, and the walk reuses its SA/LCP stages.)
+
 Replaces the semantics of the reference's lazy LCP-interval walk
 (reference src/matchfinder.c:171-234) with the construction validated in
 round 1 (tests/test_suffix.py::test_interval_centric_construction_equals_walk):
