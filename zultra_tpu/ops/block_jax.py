@@ -154,6 +154,19 @@ def _chain_mask(step: jnp.ndarray, length: jnp.ndarray, n: int) -> jnp.ndarray:
     return (mark[:, :n] == 1) & (idx < length[:, None])
 
 
+def _sort_hist(sym, nbins: int):
+    """Per-lane bincount of ``sym`` (B, n) int32 in [0, nbins] — values
+    == nbins drop. lax.sort + bin-edge searchsorted: on TPU this
+    composes with an upstream Pallas producer at full speed, where the
+    scatter-add form degrades ~10x (measured: 46 ms vs 14 ms per
+    token-hist pass at (16, 131072) when the chain-walk kernel feeds
+    the indices in the same program)."""
+    s = lax.sort(sym, dimension=1)
+    edges = jnp.arange(nbins + 1, dtype=jnp.int32)
+    pos = jax.vmap(lambda row: jnp.searchsorted(row, edges, side="left"))(s)
+    return pos[:, 1:] - pos[:, :-1]
+
+
 def _token_hist(window, lens, offs, length, n: int, is_tok=None):
     """Batched greedy/final token entropy — accumulate_token_entropy
     (parse.py:143-172): walk the (lens, offs) hop structure from 0,
@@ -175,6 +188,13 @@ def _token_hist(window, lens, offs, length, n: int, is_tok=None):
     off_sym_o, _, _ = offset_sym_extra_base(oidx)
     sym1 = jnp.where(is_match, len_sym_e, window.astype(jnp.int32))
     sym2 = jnp.where(is_match & is_tok, off_sym_o, NOFFSETSYMS)
+
+    if jax.default_backend() == "tpu":
+        lit_hist = _sort_hist(
+            jnp.where(is_tok, sym1, NLITERALSYMS), NLITERALSYMS
+        ).at[:, NEODMARKERSYM].add(1)
+        off_hist = _sort_hist(sym2, NOFFSETSYMS)
+        return lit_hist, off_hist, is_tok
 
     lane = jnp.arange(B)[:, None]
     lit_hist = jnp.zeros((B, NLITERALSYMS + 1), jnp.int32).at[
