@@ -390,18 +390,22 @@ def _emit_tokens(window, best_len, best_off, lit_cw, lit_len, off_cw, off_len,
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad",))
-def _plan_block_kernel(window, mlens, moffs, length, n_pad: int,
-                       greedy_tok=None):
-    """The full per-block planning program, batched over B independent
-    blocks padded to n_pad. All inputs are block-local (position 0 = block
-    start); matches may reference bytes before the block via offsets only.
-    ``greedy_tok`` (optional, (B, n_pad) bool) is the row-0 greedy token
-    mask sliced from the splitter's window-global chain — block starts
-    are chain tokens and the hop structure is memoryless, so the subpath
-    equals the block-local walk and the greedy histogram skips its
-    17-round pointer-doubling walk.
+def _plan_block_core(window, mlens, moffs, length, n_pad: int,
+                     greedy_tok=None):
+    """The per-block planning program MINUS token emission, batched over
+    B independent blocks padded to n_pad. All inputs are block-local
+    (position 0 = block start); matches may reference bytes before the
+    block via offsets only. ``greedy_tok`` (optional, (B, n_pad) bool)
+    is the row-0 greedy token mask sliced from the splitter's
+    window-global chain — block starts are chain tokens and the hop
+    structure is memoryless, so the subpath equals the block-local walk
+    and the greedy histogram skips its 17-round pointer-doubling walk.
 
-    Returns a dict of per-lane plan arrays (see plan_blocks)."""
+    Returns the plan fields plus the emission inputs (emit_tok and the
+    final codeword/length tables). Emission runs as a SEPARATE dispatch
+    (_emit_part) on TPU: a scatter whose operands depend on a Pallas
+    output inside the same program degrades ~10x (measured — see
+    _sort_hist), and the emitter's word packing is scatter-adds."""
     B = window.shape[0]
     static_lit_len = jnp.asarray(_STATIC_LIT_LEN)
     static_lit_cw = jnp.asarray(_STATIC_LIT_CW)
@@ -477,7 +481,7 @@ def _plan_block_kernel(window, mlens, moffs, length, n_pad: int,
     # CL-mask search over the final lengths.
     best_mask, cl_len, n_lit, n_off = mask_search(lit_len, off_len)
 
-    # Final codewords and token emission.
+    # Final codewords.
     lit_cw = jnp.where(
         is_dyn[:, None], canonical_codewords(lit_len), static_lit_cw[None, :]
     )
@@ -486,10 +490,6 @@ def _plan_block_kernel(window, mlens, moffs, length, n_pad: int,
     )
     lit_len_f = jnp.where(is_dyn[:, None], lit_len, static_lit_len[None, :])
     off_len_f = jnp.where(is_dyn[:, None], off_len, static_off_len[None, :])
-    words, total_bits = _emit_tokens(
-        window, best_len, best_off, lit_cw, lit_len_f, off_cw, off_len_f,
-        length, n_pad, emit_tok,
-    )
     return {
         "is_dynamic": is_dyn,
         "lit_len": lit_len,
@@ -498,11 +498,43 @@ def _plan_block_kernel(window, mlens, moffs, length, n_pad: int,
         "cl_len": cl_len,
         "n_lit": n_lit,
         "n_off": n_off,
-        "words": words,
-        "total_bits": total_bits,
         "best_len": best_len,
         "best_off": best_off,
+        "emit_tok": emit_tok,
+        "lit_cw": lit_cw,
+        "off_cw": off_cw,
+        "lit_len_f": lit_len_f,
+        "off_len_f": off_len_f,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _emit_part(window, best_len, best_off, lit_cw, lit_len_f, off_cw,
+               off_len_f, length, emit_tok, n_pad: int):
+    return _emit_tokens(
+        window, best_len, best_off, lit_cw, lit_len_f, off_cw, off_len_f,
+        length, n_pad, emit_tok,
+    )
+
+
+_EMIT_INPUT_KEYS = ("emit_tok", "lit_cw", "off_cw", "lit_len_f", "off_len_f")
+
+
+def _plan_block_kernel(window, mlens, moffs, length, n_pad: int,
+                       greedy_tok=None):
+    """Full per-block planning: the core program plus token emission.
+    Two device dispatches on the local path (see _plan_block_core's
+    docstring for why); under shard_map both trace into one program."""
+    core = _plan_block_core(window, mlens, moffs, length, n_pad, greedy_tok)
+    words, total_bits = _emit_part(
+        window, core["best_len"], core["best_off"], core["lit_cw"],
+        core["lit_len_f"], core["off_cw"], core["off_len_f"], length,
+        core["emit_tok"], n_pad,
+    )
+    out = {k: v for k, v in core.items() if k not in _EMIT_INPUT_KEYS}
+    out["words"] = words
+    out["total_bits"] = total_bits
+    return out
 
 
 def _bucket(n: int) -> int:
