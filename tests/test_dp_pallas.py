@@ -67,14 +67,16 @@ def test_dp_pallas_planner_end_to_end():
     table = find_all_matches(data, 0, len(data))
     spans = [(0, len(data))]
 
+    from zultra_tpu.ops.block_jax import _plan_block_core
+
     def run(impl):
         os.environ["ZULTRA_DP_IMPL"] = impl
-        _plan_block_kernel.clear_cache()
+        _plan_block_core.clear_cache()
         try:
             return plan_blocks(data, table, spans)
         finally:
             del os.environ["ZULTRA_DP_IMPL"]
-            _plan_block_kernel.clear_cache()
+            _plan_block_core.clear_cache()
 
     ref = run("scan")
     got = run("pallas")
