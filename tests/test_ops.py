@@ -1006,3 +1006,21 @@ def test_split_jax_trigger_overflow_fallback():
     expect = block_split(window, table, 0, n, 64)
     got = block_split_jax(window, table, 0, n)
     assert got == expect
+
+
+def test_sort_hist_equals_scatter_hist():
+    """ops/block_jax._sort_hist (the TPU token-histogram form — scatters
+    whose operands depend on a Pallas output degrade on-chip, see §6)
+    must count identically to the scatter-add form on every backend."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from zultra_tpu.ops.block_jax import _sort_hist
+
+    rng = np.random.default_rng(3)
+    for nbins in (33, 289, 321):
+        sym = rng.integers(0, nbins + 1, (5, 4096)).astype(np.int32)
+        got = np.asarray(_sort_hist(jnp.asarray(sym), nbins))
+        for b in range(5):
+            ref = np.bincount(sym[b][sym[b] < nbins], minlength=nbins)
+            assert np.array_equal(got[b], ref)
